@@ -1,0 +1,126 @@
+"""Differential tests of the device field backends vs exact Python ints.
+
+Mirrors the reference's reliance on arkworks' own field-arithmetic tests: here
+every backend op is checked against arbitrary-precision host arithmetic
+(SURVEY.md section 7 order-of-construction step 1).
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from thaler_study_tpu.fields import (
+    BABYBEAR,
+    F5,
+    F389,
+    F1572869,
+    GOLDILOCKS,
+    FArray,
+    Felt,
+)
+
+FIELDS = [F5, F389, F1572869, BABYBEAR, GOLDILOCKS]
+
+
+def _rand_ints(field, n, rng):
+    return [rng.randrange(field.p) for _ in range(n)]
+
+
+@pytest.mark.parametrize("field", FIELDS, ids=lambda f: f.name)
+def test_roundtrip(field, rng):
+    vals = _rand_ints(field, 64, rng) + [0, 1, field.p - 1]
+    arr = FArray.from_ints(np.array(vals, dtype=object), field)
+    back = [int(v) for v in arr.to_ints()]
+    assert back == [v % field.p for v in vals]
+
+
+@pytest.mark.parametrize("field", FIELDS, ids=lambda f: f.name)
+@pytest.mark.parametrize("op", ["add", "sub", "mul", "neg"])
+def test_elementwise_vs_bigint(field, op, rng):
+    n = 257  # odd size: exercises broadcasting/padding-free paths
+    a_vals = _rand_ints(field, n, rng)
+    b_vals = _rand_ints(field, n, rng)
+    # always include the boundary cases
+    a_vals[:4] = [0, field.p - 1, field.p - 1, 1]
+    b_vals[:4] = [0, field.p - 1, 1, field.p - 1]
+    a = FArray.from_ints(np.array(a_vals, dtype=object), field)
+    b = FArray.from_ints(np.array(b_vals, dtype=object), field)
+    if op == "add":
+        got, want = a + b, [(x + y) % field.p for x, y in zip(a_vals, b_vals)]
+    elif op == "sub":
+        got, want = a - b, [(x - y) % field.p for x, y in zip(a_vals, b_vals)]
+    elif op == "mul":
+        got, want = a * b, [(x * y) % field.p for x, y in zip(a_vals, b_vals)]
+    else:
+        got, want = -a, [(-x) % field.p for x in a_vals]
+    assert [int(v) for v in got.to_ints()] == want
+
+
+@pytest.mark.parametrize("field", FIELDS, ids=lambda f: f.name)
+def test_sum_mod(field, rng):
+    for n in (1, 2, 3, 7, 64, 1000):
+        vals = _rand_ints(field, n, rng)
+        arr = FArray.from_ints(np.array(vals, dtype=object), field)
+        got = arr.sum(axis=0)
+        assert int(got.to_ints()) == sum(vals) % field.p
+
+
+@pytest.mark.parametrize("field", FIELDS, ids=lambda f: f.name)
+def test_scalar_broadcast(field, rng):
+    vals = _rand_ints(field, 33, rng)
+    s = rng.randrange(field.p)
+    arr = FArray.from_ints(np.array(vals, dtype=object), field)
+    got = arr * Felt(s, field)
+    assert [int(v) for v in got.to_ints()] == [(v * s) % field.p for v in vals]
+    got = arr + Felt(s, field)
+    assert [int(v) for v in got.to_ints()] == [(v + s) % field.p for v in vals]
+
+
+def test_felt_host_arithmetic():
+    a, b = F389.felt(377), F389.felt(212)
+    assert (a + b).v == (377 + 212) % 389
+    assert (a - b).v == (377 - 212) % 389
+    assert (a * b).v == (377 * 212) % 389
+    assert (a / b * b) == a
+    assert (a**3).v == pow(377, 3, 389)
+    assert -F389.zero() == F389.zero()
+    assert a.inverse() * a == F389.one()
+
+
+def test_goldilocks_known_values():
+    p = GOLDILOCKS.p
+    assert p == 2**64 - 2**32 + 1
+    # worst-case products near the modulus
+    cases = [
+        (p - 1, p - 1),
+        (p - 1, 2**32),
+        (2**32 - 1, 2**32 - 1),
+        (2**63, 2**63),
+        (p - 2, p - 3),
+    ]
+    a = FArray.from_ints(np.array([c[0] for c in cases], dtype=object), GOLDILOCKS)
+    b = FArray.from_ints(np.array([c[1] for c in cases], dtype=object), GOLDILOCKS)
+    got = (a * b).to_ints()
+    for (x, y), g in zip(cases, got):
+        assert int(g) == (x * y) % p
+
+
+def test_serialization_le_bytes():
+    # arkworks Fp64 uncompressed = 8 bytes little-endian of the canonical value
+    f = F1572869.felt(1234567)
+    assert f.to_bytes_le() == (1234567).to_bytes(8, "little")
+    assert Felt.from_bytes_le(f.to_bytes_le(), F1572869) == f
+
+
+def test_fuzz_mul_randomized():
+    rng = random.Random(42)
+    for field in (F1572869, GOLDILOCKS, BABYBEAR):
+        n = 4096
+        a_vals = [rng.randrange(field.p) for _ in range(n)]
+        b_vals = [rng.randrange(field.p) for _ in range(n)]
+        a = FArray.from_ints(np.array(a_vals, dtype=object), field)
+        b = FArray.from_ints(np.array(b_vals, dtype=object), field)
+        got = (a * b).to_ints()
+        want = [(x * y) % field.p for x, y in zip(a_vals, b_vals)]
+        assert [int(v) for v in got] == want

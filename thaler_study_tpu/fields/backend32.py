@@ -1,0 +1,109 @@
+"""Montgomery field arithmetic for p < 2^31 in uint32 lanes.
+
+The device analogue of arkworks' ``MontBackend<_, 1>`` (the reference's field
+substrate for test moduli 5, 389, 1572869). Elements are stored in the
+Montgomery domain with R = 2^32: ``x_stored = x * 2^32 mod p``. Multiplication
+is REDC built from 16x16-bit partial products so that every intermediate fits
+a uint32 lane — TPUs have no native 64-bit integer path, and this keeps the
+whole hot loop on the VPU.
+
+All functions are pure jnp on uint32 arrays, traceable inside jit, shard_map,
+and Pallas kernel bodies alike. The modulus and Montgomery constants enter as
+Python ints and become compile-time constants.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+U32 = jnp.uint32
+_MASK16 = jnp.uint32(0xFFFF)
+
+
+def mul32_hilo(a, b):
+    """Full 32x32 -> 64-bit product as (hi, lo) uint32 pairs.
+
+    Exact: built from four 16x16 partial products, each < 2^32.
+    """
+    a = a.astype(U32)
+    b = b.astype(U32)
+    a_lo = a & _MASK16
+    a_hi = a >> 16
+    b_lo = b & _MASK16
+    b_hi = b >> 16
+
+    ll = a_lo * b_lo
+    lh = a_lo * b_hi
+    hl = a_hi * b_lo
+    hh = a_hi * b_hi
+
+    mid = lh + hl  # may wrap: carry tracked below
+    mid_carry = (mid < lh).astype(U32)
+
+    lo = ll + (mid << 16)
+    lo_carry = (lo < ll).astype(U32)
+
+    hi = hh + (mid >> 16) + (mid_carry << 16) + lo_carry
+    return hi, lo
+
+
+def mullo32(a, b):
+    """Low 32 bits of the product (wrapping uint32 multiply)."""
+    return (a.astype(U32) * b.astype(U32)).astype(U32)
+
+
+def mont_mul(p: int, pinv_neg: int, a, b):
+    """Montgomery product REDC(a*b): returns a*b*R^{-1} mod p, canonical (<p).
+
+    Requires p < 2^31 so that t_hi + mp_hi + 1 cannot overflow uint32 and the
+    final value is < 2p.
+    """
+    t_hi, t_lo = mul32_hilo(a, b)
+    m = mullo32(t_lo, jnp.uint32(pinv_neg))
+    mp_hi, _ = mul32_hilo(m, jnp.uint32(p))
+    # t_lo + mp_lo === 0 (mod 2^32) by construction; carry is 1 iff t_lo != 0.
+    carry = (t_lo != 0).astype(U32)
+    t = t_hi + mp_hi + carry
+    return jnp.where(t >= jnp.uint32(p), t - jnp.uint32(p), t)
+
+
+def add(p: int, a, b):
+    """Modular add; inputs canonical (< p < 2^31) so no uint32 overflow."""
+    s = a + b
+    return jnp.where(s >= jnp.uint32(p), s - jnp.uint32(p), s)
+
+
+def sub(p: int, a, b):
+    return jnp.where(a >= b, a - b, a + (jnp.uint32(p) - b))
+
+
+def neg(p: int, a):
+    return jnp.where(a == 0, a, jnp.uint32(p) - a)
+
+
+def to_mont(p: int, pinv_neg: int, r2: int, a):
+    """Canonical -> Montgomery domain: montmul(a, R^2)."""
+    return mont_mul(p, pinv_neg, a, jnp.full_like(a, jnp.uint32(r2)))
+
+
+def from_mont(p: int, pinv_neg: int, a):
+    """Montgomery -> canonical: montmul(a, 1)."""
+    return mont_mul(p, pinv_neg, a, jnp.ones_like(a))
+
+
+def sum_mod(p: int, a, axis: int):
+    """Exact modular sum along ``axis`` via an unrolled pairwise tree.
+
+    A plain ``jnp.sum`` would overflow uint32 lanes; instead halve the axis
+    with a modular add per step (log2(n) fused elementwise passes, ~2n adds
+    total). Odd prefixes peel one element. Shapes are static under jit.
+    """
+    a = jnp.moveaxis(a, axis, 0)
+    while a.shape[0] > 1:
+        if a.shape[0] % 2 == 1:
+            last = a[-1:]
+            a = a[:-1]
+            a = jnp.concatenate([add(p, a[:1], last), a[1:]], axis=0)
+        half = a.shape[0] // 2
+        a = add(p, a[:half], a[half:])
+    return jnp.squeeze(jnp.moveaxis(a, 0, axis), axis=axis)

@@ -1,0 +1,155 @@
+"""Goldilocks field (p = 2^64 - 2^32 + 1) arithmetic in 2x uint32 lanes.
+
+The production 64-bit field for the perf configs (the reference only exercises
+<=21-bit test moduli, but BASELINE.md's field-ops/s metric wants a real 64-bit
+prime). Elements are stored canonical (< p) as a structure-of-arrays pair
+``(lo, hi)`` of uint32 — SoA keeps every op elementwise on the VPU with
+perfect (8,128) tiling.
+
+Reduction uses 2^64 === 2^32 - 1 =: EPS (mod p) and 2^96 === -1 (mod p), so a
+128-bit product n3*2^96 + n2*2^64 + (n1,n0) reduces to
+(n1,n0) + n2*EPS - n3 with a couple of conditional EPS fixups — no Montgomery
+form needed. All helpers are pure jnp on uint32 arrays, usable inside jit and
+Pallas kernels.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .backend32 import mul32_hilo
+
+U32 = jnp.uint32
+P_LO = jnp.uint32(0x00000001)
+P_HI = jnp.uint32(0xFFFFFFFF)
+EPS = jnp.uint32(0xFFFFFFFF)  # 2^32 - 1 === 2^64 mod p
+
+
+def _carry_add(x, y):
+    """(x + y) wrapping uint32, plus carry-out in {0,1}."""
+    s = x + y
+    return s, (s < x).astype(U32)
+
+
+def _add64(alo, ahi, blo, bhi):
+    """Wrapping 64-bit add on uint32 pairs -> (lo, hi, carry_out)."""
+    lo, c0 = _carry_add(alo, blo)
+    t, c1 = _carry_add(ahi, bhi)
+    hi, c2 = _carry_add(t, c0)
+    return lo, hi, c1 + c2  # carries are exclusive; sum is 0 or 1
+
+
+def _sub64(alo, ahi, blo, bhi):
+    """Wrapping 64-bit sub on uint32 pairs -> (lo, hi, borrow_out)."""
+    lo = alo - blo
+    b0 = (alo < blo).astype(U32)
+    t = ahi - bhi
+    b1 = (ahi < bhi).astype(U32)
+    hi = t - b0
+    b2 = (t < b0).astype(U32)
+    return lo, hi, b1 + b2
+
+
+def _geq_p(lo, hi):
+    return (hi == P_HI) & (lo >= P_LO)
+
+
+def _reduce_once(lo, hi):
+    """Subtract p once if (lo,hi) >= p. Input < 2^64."""
+    need = _geq_p(lo, hi)
+    slo, shi, _ = _sub64(lo, hi, P_LO, P_HI)
+    return jnp.where(need, slo, lo), jnp.where(need, shi, hi)
+
+
+def add(alo, ahi, blo, bhi):
+    """Modular add of canonical elements."""
+    lo, hi, carry = _add64(alo, ahi, blo, bhi)
+    # On 2^64 wraparound the true value is (lo,hi) + EPS (mod p); the fixup
+    # cannot re-carry because a+b < 2p => wrapped < 2^64 - 2^33 + 2.
+    lo2, hi2, _ = _add64(lo, hi, EPS, jnp.zeros_like(hi))
+    lo = jnp.where(carry == 1, lo2, lo)
+    hi = jnp.where(carry == 1, hi2, hi)
+    return _reduce_once(lo, hi)
+
+
+def sub(alo, ahi, blo, bhi):
+    lo, hi, borrow = _sub64(alo, ahi, blo, bhi)
+    # Borrow: true value = wrapped - 2^64 === wrapped - EPS (mod p).
+    lo2, hi2, _ = _sub64(lo, hi, EPS, jnp.zeros_like(hi))
+    return (
+        jnp.where(borrow == 1, lo2, lo),
+        jnp.where(borrow == 1, hi2, hi),
+    )
+
+
+def neg(alo, ahi):
+    is_zero = (alo == 0) & (ahi == 0)
+    lo, hi, _ = _sub64(P_LO, P_HI, alo, ahi)
+    return jnp.where(is_zero, alo, lo), jnp.where(is_zero, ahi, hi)
+
+
+def _mul_words(alo, ahi, blo, bhi):
+    """Full 64x64 -> 128-bit product as four uint32 words (w0..w3)."""
+    h0, l0 = mul32_hilo(alo, blo)
+    h1, l1 = mul32_hilo(alo, bhi)
+    h2, l2 = mul32_hilo(ahi, blo)
+    h3, l3 = mul32_hilo(ahi, bhi)
+
+    w0 = l0
+    acc1, ca = _carry_add(h0, l1)
+    acc1, cb = _carry_add(acc1, l2)
+    w1 = acc1
+    c1 = ca + cb  # 0..2
+
+    acc2, da = _carry_add(h1, h2)
+    acc2, db = _carry_add(acc2, l3)
+    acc2, dc = _carry_add(acc2, c1)
+    w2 = acc2
+    w3 = h3 + da + db + dc  # exact: total product < 2^128
+    return w0, w1, w2, w3
+
+
+def _reduce128(w0, w1, w2, w3):
+    """Reduce a 128-bit value (w3*2^96 + w2*2^64 + w1*2^32 + w0) mod p.
+
+    plonky2-style: n === (w1,w0) - w3 + w2*EPS (mod p).
+    """
+    zero = jnp.zeros_like(w0)
+    # t0 = (w1,w0) - w3, with borrow fixup (-2^64 === -EPS)
+    t0lo, t0hi, borrow = _sub64(w0, w1, w3, zero)
+    f_lo, f_hi, _ = _sub64(t0lo, t0hi, EPS, zero)
+    t0lo = jnp.where(borrow == 1, f_lo, t0lo)
+    t0hi = jnp.where(borrow == 1, f_hi, t0hi)
+    # t1 = w2 * EPS = (w2 << 32) - w2 as a 64-bit value
+    t1lo = zero - w2
+    t1hi = w2 - (w2 != 0).astype(U32)
+    # res = t0 + t1, carry fixup (+2^64 === +EPS, cannot re-carry)
+    rlo, rhi, carry = _add64(t0lo, t0hi, t1lo, t1hi)
+    g_lo, g_hi, _ = _add64(rlo, rhi, EPS, zero)
+    rlo = jnp.where(carry == 1, g_lo, rlo)
+    rhi = jnp.where(carry == 1, g_hi, rhi)
+    return _reduce_once(rlo, rhi)
+
+
+def mul(alo, ahi, blo, bhi):
+    """Modular product of canonical elements."""
+    return _reduce128(*_mul_words(alo, ahi, blo, bhi))
+
+
+def sum_mod(lo, hi, axis: int):
+    """Exact modular sum along ``axis`` via an unrolled pairwise tree."""
+    lo = jnp.moveaxis(lo, axis, 0)
+    hi = jnp.moveaxis(hi, axis, 0)
+    while lo.shape[0] > 1:
+        if lo.shape[0] % 2 == 1:
+            llast, hlast = lo[-1:], hi[-1:]
+            lo, hi = lo[:-1], hi[:-1]
+            l0, h0 = add(lo[:1], hi[:1], llast, hlast)
+            lo = jnp.concatenate([l0, lo[1:]], axis=0)
+            hi = jnp.concatenate([h0, hi[1:]], axis=0)
+        half = lo.shape[0] // 2
+        lo, hi = add(lo[:half], hi[:half], lo[half:], hi[half:])
+    return (
+        jnp.squeeze(jnp.moveaxis(lo, 0, axis), axis=axis),
+        jnp.squeeze(jnp.moveaxis(hi, 0, axis), axis=axis),
+    )
