@@ -1,0 +1,294 @@
+"""The fused sumcheck round kernel — one program per round.
+
+This generalizes the reference's optimized matmul round loop
+(matrix-multiplication/src/lib.rs:110-131: one pass over even/odd pairs
+computing s(0), s(1), s(2) with the fold identity f(t) = f_even + t*(f_odd -
+f_even)) to *any* polynomial of the form
+
+    g(x) = sum_over_terms  prod_over_factors  T_k(x_{blocks(k)})
+
+where each factor T_k is a dense MLE over a subset of variable *blocks*.
+This covers every protocol in the reference:
+
+- matmul IP:      1 block,  terms = [A*B]                       (deg 2)
+- triangle IP:    3 blocks (X,Y,Z), terms = [f1(X,Y)*f2(Y,Z)*f3(X,Z)]
+- GKR round W:    2 blocks (b,c),
+                  terms = [add*(Wb), add*(Wc), mul*Wb*Wc]       (deg 2)
+- generic MLE:    1 block, 1 single-factor term                 (deg 1)
+
+Internally every factor table is stored MSB-first (variable 0 of its first
+remaining block = most significant index bit), so the per-round fold and the
+t-point evaluations are contiguous half-table streams — ideal for TPU VPU
+tiling and for mesh sharding of the low-order (late-folded) blocks.
+
+One jitted program per (spec, fold?) pair performs:
+  1. fold of the previous challenge into every factor containing block 0
+  2. evaluation of each such factor at t = 0..degree (add chains, no mul)
+  3. the broadcast product over remaining variables, term-summed
+  4. an exact modular tree-reduction to the (degree+1) round sums
+Only (degree+1) field elements leave the device per round.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+from typing import Optional, Sequence, Tuple
+
+import jax
+
+from ..fields import FArray, FieldConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class PolySpec:
+    """Static structure of a multi-term product polynomial.
+
+    - ``block_sizes[i]``: number of boolean variables in block i. Global
+      variable order = block 0 vars, block 1 vars, ... The sumcheck folds
+      block 0 first.
+    - ``table_blocks[k]``: the (strictly increasing) block ids that table k
+      ranges over. Its index space is the concatenation of those blocks'
+      variables, MSB-first.
+    - ``terms[t]``: table ids whose product forms term t; g = sum of terms.
+    """
+
+    block_sizes: Tuple[int, ...]
+    table_blocks: Tuple[Tuple[int, ...], ...]
+    terms: Tuple[Tuple[int, ...], ...]
+
+    def degree(self) -> int:
+        """Max per-term count of factors involving block 0 = the degree of
+        the current round's univariate polynomial."""
+        return max(
+            sum(1 for k in term if 0 in self.table_blocks[k])
+            for term in self.terms
+        )
+
+    def num_vars(self) -> int:
+        return sum(self.block_sizes)
+
+    def after_fold(self) -> "PolySpec":
+        """The spec after folding one variable of block 0."""
+        sizes = list(self.block_sizes)
+        sizes[0] -= 1
+        if sizes[0] > 0:
+            return dataclasses.replace(self, block_sizes=tuple(sizes))
+        # drop block 0, renumber blocks down by one
+        return PolySpec(
+            block_sizes=tuple(sizes[1:]),
+            table_blocks=tuple(
+                tuple(b - 1 for b in tb if b != 0) for tb in self.table_blocks
+            ),
+            terms=self.terms,
+        )
+
+
+def _table_shape(spec: PolySpec, k: int) -> Tuple[int, ...]:
+    return tuple(2 ** spec.block_sizes[b] for b in spec.table_blocks[k]) or (1,)
+
+
+def _broadcast_dims(spec: PolySpec, k: int) -> Tuple[int, ...]:
+    """Shape that table k broadcasts to within the global block grid."""
+    return tuple(
+        2 ** spec.block_sizes[b] if b in spec.table_blocks[k] else 1
+        for b in range(len(spec.block_sizes))
+    )
+
+
+def _fold_tables(
+    spec: PolySpec, tables: Sequence[FArray], r: FArray
+) -> Tuple[FArray, ...]:
+    """Fold the current (block-0 MSB) variable at r in every table that
+    contains block 0. Tables are flat 1-D; block 0 occupies the top bits."""
+    out = []
+    for k, t in enumerate(tables):
+        if 0 in spec.table_blocks[k]:
+            half = t.shape[0] // 2
+            lo, hi = t[:half], t[half:]
+            out.append(lo + (hi - lo) * r)
+        else:
+            out.append(t)
+    return tuple(out)
+
+
+def _term_vars(spec: PolySpec, term: Tuple[int, ...]) -> Tuple[set, int]:
+    """(set of blocks covered by the term, number of vars covered)."""
+    blocks = set()
+    for k in term:
+        blocks.update(spec.table_blocks[k])
+    return blocks, sum(spec.block_sizes[b] for b in blocks)
+
+
+def _pow2_scalar(field: FieldConfig, e: int) -> FArray:
+    return FArray.from_ints([pow(2, e, field.p)], field).reshape(())
+
+
+def _sum_all_axes(x: FArray) -> FArray:
+    for _ in range(x.ndim):
+        x = x.sum(axis=0)
+    return x
+
+
+def _round_sums(spec: PolySpec, tables: Sequence[FArray], degree: int) -> FArray:
+    """Partial sums s(t), t = 0..degree, of the current round."""
+    field = tables[0].field
+    total_vars = spec.num_vars()
+    # Views of each table at t: for tables with block 0, (lo, hi) halves give
+    # T_0 = lo, T_1 = hi, T_t = T_{t-1} + (hi - lo)  — adds only, no muls.
+    shaped = []
+    for k, t in enumerate(tables):
+        dims = list(_broadcast_dims(spec, k))
+        if 0 in spec.table_blocks[k]:
+            half = t.shape[0] // 2
+            lo, hi = t[:half], t[half:]
+            dims[0] //= 2
+            lo = lo.reshape(tuple(dims))
+            hi = hi.reshape(tuple(dims))
+            shaped.append((lo, hi, hi - lo))
+        else:
+            shaped.append((t.reshape(tuple(dims)), None, None))
+    per_t_views = []  # [t][k]
+    for t_val in range(degree + 1):
+        views = []
+        for k in range(len(tables)):
+            lo, hi, delta = shaped[k]
+            if hi is None:
+                views.append(lo)
+            elif t_val == 0:
+                views.append(lo)
+            elif t_val == 1:
+                views.append(hi)
+            else:
+                views.append(per_t_views[t_val - 1][k] + delta)
+        per_t_views.append(views)
+
+    sums = []
+    for t_val in range(degree + 1):
+        views = per_t_views[t_val]
+        acc = None
+        for term in spec.terms:
+            prod = views[term[0]]
+            for k in term[1:]:
+                prod = prod * views[k]
+            blocks, nvars = _term_vars(spec, term)
+            # sum over the variables the term actually covers, then account
+            # for the 2^missing multiplicity of the ones it does not (the
+            # current variable is excluded from the rest-sum)
+            missing = total_vars - 1 - (nvars - 1 if 0 in blocks else nvars)
+            contrib = _sum_all_axes(prod)
+            if missing:
+                contrib = contrib * _pow2_scalar(field, missing)
+            acc = contrib if acc is None else acc + contrib
+        sums.append(acc.reshape((1,)))
+    out = sums[0]
+    for s in sums[1:]:
+        out = out.concatenate(s, axis=0)
+    return out
+
+
+def _round_step(spec: PolySpec, do_fold: bool, degree: int):
+    """Build the fused (fold + sums) program for one round; jit-cached.
+
+    When folding, the sums run against the advanced spec (the fold consumed
+    one block-0 variable)."""
+    sums_spec = spec.after_fold() if do_fold else spec
+
+    def impl(tables, r):
+        if do_fold:
+            tables = _fold_tables(spec, tables, r)
+        return _round_sums(sums_spec, tables, degree), tables
+
+    return impl
+
+
+@lru_cache(maxsize=None)
+def _round_step_jit(spec: PolySpec, do_fold: bool, degree: int, field: FieldConfig):
+    return jax.jit(_round_step(spec, do_fold, degree))
+
+
+def round_step(
+    spec: PolySpec,
+    tables: Sequence[FArray],
+    r_prev: Optional[FArray],
+    degree: Optional[int] = None,
+) -> Tuple[FArray, Tuple[FArray, ...]]:
+    """Run one fused prover round on device.
+
+    Returns (sums[degree+1], new_tables). If ``r_prev`` is given the fold
+    happens first and ``new_tables`` reflect it (spec then advances via
+    ``spec.after_fold()`` on the host side).
+    """
+    field = tables[0].field
+    if degree is None:
+        degree = (spec.after_fold() if r_prev is not None else spec).degree()
+    fn = _round_step_jit(spec, r_prev is not None, degree, field)
+    if r_prev is None:
+        # pass a dummy 0-d scalar so the traced signature stays uniform
+        r_prev = FArray.zeros((), field)
+    sums, new_tables = fn(tuple(tables), r_prev)
+    return sums, new_tables
+
+
+@lru_cache(maxsize=None)
+def _fold_step_jit(spec: PolySpec, field: FieldConfig):
+    def impl(tables, r):
+        return _fold_tables(spec, tables, r)
+
+    return jax.jit(impl)
+
+
+def fold_step(
+    spec: PolySpec, tables: Sequence[FArray], r: FArray
+) -> Tuple[FArray, ...]:
+    """Fold-only step (the parity ``fix_variables`` path)."""
+    return _fold_step_jit(spec, tables[0].field)(tuple(tables), r)
+
+
+@lru_cache(maxsize=None)
+def _sum_products_jit(spec: PolySpec, field: FieldConfig):
+    total_vars = spec.num_vars()
+
+    def impl(tables):
+        acc = None
+        for term in spec.terms:
+            prod = tables[term[0]].reshape(_broadcast_dims(spec, term[0]))
+            for k in term[1:]:
+                prod = prod * tables[k].reshape(_broadcast_dims(spec, k))
+            blocks, nvars = _term_vars(spec, term)
+            contrib = _sum_all_axes(prod)
+            if total_vars - nvars:
+                contrib = contrib * _pow2_scalar(field, total_vars - nvars)
+            acc = contrib if acc is None else acc + contrib
+        return acc
+
+    return jax.jit(impl)
+
+
+def sum_products(spec: PolySpec, tables: Sequence[FArray]) -> FArray:
+    """Sum of g over the whole hypercube — the prover's C_1 (one program)."""
+    return _sum_products_jit(spec, tables[0].field)(tuple(tables))
+
+
+@lru_cache(maxsize=None)
+def _product_evals_jit(spec: PolySpec, field: FieldConfig):
+    def impl(tables):
+        acc = None
+        for term in spec.terms:
+            prod = tables[term[0]].reshape(_broadcast_dims(spec, term[0]))
+            for k in term[1:]:
+                prod = prod * tables[k].reshape(_broadcast_dims(spec, k))
+            acc = prod if acc is None else acc + prod
+        # broadcast to the full grid then flatten (MSB-first global order)
+        full = tuple(2**s for s in spec.block_sizes)
+        limbs = tuple(
+            jax.numpy.broadcast_to(l, full).reshape(-1) for l in acc.limbs
+        )
+        return FArray(limbs, acc.field)
+
+    return jax.jit(impl)
+
+
+def product_evals(spec: PolySpec, tables: Sequence[FArray]) -> FArray:
+    """Dense evaluations of g on the hypercube, internal MSB-first order."""
+    return _product_evals_jit(spec, tables[0].field)(tuple(tables))

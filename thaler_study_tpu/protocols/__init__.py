@@ -1,0 +1,7 @@
+"""Special-purpose interactive proofs (ref: matrix-multiplication + triangle-counting crates)."""
+
+from .factor_poly import ProductPoly
+from .matmul import MatMulG
+from .triangles import TriangleG
+
+__all__ = ["ProductPoly", "MatMulG", "TriangleG"]

@@ -1,0 +1,57 @@
+"""Field-operation counters — the criterion-throughput analogue.
+
+The reference's only perf instrumentation is criterion wall-clock with
+``Throughput::Elements`` (matrix-multiplication/benches/mm_benchmark.rs:85).
+Here we additionally model the exact number of field multiplications each
+fused round kernel performs, so the benchmark can report field-ops/s per
+chip against the speed-of-light estimate (BASELINE.md north-star metric).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from ..ops.round_kernel import PolySpec
+
+
+@dataclasses.dataclass
+class OpCounts:
+    field_muls: int = 0
+    field_adds: int = 0
+
+    def reset(self):
+        self.field_muls = 0
+        self.field_adds = 0
+
+
+COUNTS = OpCounts()
+
+
+def _grid_size(spec, term) -> int:
+    blocks = set()
+    for k in term:
+        blocks.update(spec.table_blocks[k])
+    return 1 << sum(spec.block_sizes[b] for b in blocks)
+
+
+def count_round(spec: "PolySpec", fold: bool):
+    """Model the field ops of one fused round (fold + degree+1 sums)."""
+    degree = spec.degree()
+    muls = 0
+    adds = 0
+    if fold:
+        for tb in spec.table_blocks:
+            if 0 in tb:
+                n = 1 << sum(spec.block_sizes[b] for b in tb)
+                muls += n // 2  # (hi-lo)*r
+                adds += n  # sub + add
+    for term in spec.terms:
+        half_grid = _grid_size(spec, term) // 2
+        # product: (len(term)-1) muls per grid point per t value
+        muls += (degree + 1) * max(len(term) - 1, 0) * half_grid
+        # tree reduction: ~1 add per element per t value
+        adds += (degree + 1) * 2 * half_grid
+    COUNTS.field_muls += muls
+    COUNTS.field_adds += adds
