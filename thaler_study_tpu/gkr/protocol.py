@@ -1,0 +1,309 @@
+"""The GKR protocol: Prover/Verifier state machines + message enums.
+
+Mirrors gkr-protocol/src/lib.rs: the wire boundary is the
+ProverMessage/VerifierMessage types (ref :222-275), the verifier is a state
+machine over an inner sumcheck (ref :38-218), the prover runs one inner
+sumcheck per layer over the W polynomial (ref :324-474), and the final
+claim-reduction uses the line trick (ref :139-174) with ``line`` and
+``restrict_poly`` (ref :278-321).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+from ..fields import Felt, FieldConfig
+from ..mle.dense import DenseMLE
+from ..sumcheck import (
+    FeltRng,
+    FinalRound,
+    JthRound,
+    Prover as SumCheckProver,
+    UniPoly,
+    Verifier as SumCheckVerifier,
+    VerifierRoundResult,
+    lagrange_interpolate,
+)
+from .circuit import Circuit, CircuitEvaluation
+from .round_polynomial import W
+
+
+class GKRError(Exception):
+    """GKR error type (ref :27-32)."""
+
+
+class WrongVerifierState(GKRError):
+    """Verifier is in the wrong state (ref :29-31)."""
+
+
+# ---------- messages (the wire boundary, component #16) ----------
+
+
+@dataclasses.dataclass
+class Begin:
+    """Prover's opening claim about the circuit outputs (ref :246-249)."""
+
+    circuit_outputs: List[Felt]
+
+
+@dataclasses.dataclass
+class SumCheckProverMessage:
+    """One inner-sumcheck round polynomial (ref :250-254)."""
+
+    p: UniPoly
+
+
+@dataclasses.dataclass
+class FinalRoundMessage:
+    """Last round: the round poly plus the line-restriction q (ref :255-263)."""
+
+    p: UniPoly
+    q: UniPoly
+
+
+@dataclasses.dataclass
+class StartSumCheck:
+    """Start the layer-i sumcheck (ref :264-275)."""
+
+    c_1: Felt
+    round: int
+    num_vars: int
+
+
+@dataclasses.dataclass
+class SumCheckRoundResult:
+    """Verifier: result of one inner sumcheck step (ref :223-227)."""
+
+    res: VerifierRoundResult
+
+
+@dataclasses.dataclass
+class RoundStarted:
+    """Verifier: the j-th round has started (ref :232-233)."""
+
+    round: int
+
+
+@dataclasses.dataclass
+class R:
+    """Verifier: the next layer's random point r_i (ref :235-239)."""
+
+    r: List[Felt]
+
+
+# ---------- line + restriction utilities (component #15) ----------
+
+
+def line(b: Sequence[Felt], c: Sequence[Felt]) -> List[UniPoly]:
+    """The unique line l with l(0)=b, l(1)=c: l_i(t) = b_i + (c_i - b_i) t
+    (ref :278-284)."""
+    field = b[0].field
+    return [
+        UniPoly([(0, bi), (1, ci - bi)], field) for bi, ci in zip(b, c)
+    ]
+
+
+def restrict_poly(
+    b: Sequence[Felt], c: Sequence[Felt], mle: DenseMLE
+) -> UniPoly:
+    """Restrict the MLE to the line through b and c: q(t) = W~(l(t)).
+
+    The reference multiplies out n degree-1 factors per table entry —
+    O(2^n * n^2) host work (ref :291-321). Same polynomial, TPU-native:
+    q has degree <= n, so evaluate W~ at the n+1 line points l(0..n) (one
+    device fold-eval each) and Lagrange-interpolate. Coefficient-identical
+    output (the wire carries coefficients, so transcripts are unchanged).
+    """
+    field = b[0].field
+    n = mle.num_vars
+    ls = line(b, c)
+    pts = []
+    for t in range(n + 1):
+        t_f = field.felt(t)
+        point = [l.evaluate(t_f) for l in ls]
+        pts.append((t_f, mle.evaluate(point)))
+    return lagrange_interpolate(pts, field)
+
+
+def _mle_eval(evals: List[Felt], point: Sequence[Felt], field: FieldConfig) -> Felt:
+    """Evaluate the MLE of a value vector at a field point — host for small
+    vectors, device folds for large."""
+    n = len(point)
+    assert len(evals) == 1 << n
+    if n <= 10:
+        one = field.one()
+        acc = field.zero()
+        for i, ev in enumerate(evals):
+            w = one
+            for j in range(n):
+                w = w * (point[j] if (i >> j) & 1 else (one - point[j]))
+            acc = acc + ev * w
+        return acc
+    return DenseMLE.from_evals_lsb(evals, n, field).evaluate(list(point))
+
+
+# ---------- Prover (component #13) ----------
+
+
+class Prover:
+    """GKR prover (ref :324-474)."""
+
+    def __init__(self, circuit: Circuit, inputs: Sequence[Felt], field: FieldConfig):
+        self.circuit = circuit
+        self.field = field
+        self.evaluation: CircuitEvaluation = circuit.evaluate(list(inputs))
+        self.i = 0
+        self.prover: Optional[SumCheckProver] = None
+        self.w: Optional[DenseMLE] = None
+        self.r: List[Felt] = []
+
+    def start_protocol(self) -> Begin:
+        """Send W_0, the claimed output values (ref :363-367)."""
+        return Begin(circuit_outputs=list(self.evaluation.layers[0]))
+
+    def start_round(self, i: int, r_i: Sequence[Felt]) -> StartSumCheck:
+        """Spin up the layer-i sumcheck over W (ref :373-436).
+
+        Unlike the reference's dense O(2^(k_i + 2k_{i+1})) triple loop
+        (ref :388-404), the wiring MLEs come from the sparse eq-scatter
+        (circuit.py), already fixed at r_i.
+        """
+        num_vars_next = self.circuit.num_vars_at(i + 1)
+        w_b = DenseMLE.from_evals_lsb(
+            list(self.evaluation.layers[i + 1]), num_vars_next, self.field
+        )
+        self.w = w_b
+        add_i = self.circuit.add_i_ext(list(r_i), i)
+        mul_i = self.circuit.mul_i_ext(list(r_i), i)
+        w = W.new(add_i, mul_i, w_b, w_b)
+        self.i = i
+        self.prover = SumCheckProver(w)
+        self.r = []
+        return StartSumCheck(
+            c_1=self.prover.c_1(), round=i, num_vars=2 * num_vars_next
+        )
+
+    def round_msg(self, j: int):
+        """Inner sumcheck step j (ref :439-456)."""
+        last = 2 * self.circuit.num_vars_at(self.i + 1) - 1
+        if j == last:
+            b = self.r[: len(self.r) // 2]
+            c = self.r[len(self.r) // 2 :]
+            q = restrict_poly(b, c, self.w)
+            p = self.prover.round(self.r[j - 1], j)
+            return FinalRoundMessage(p=p, q=q)
+        point = self.field.one() if j == 0 else self.r[j - 1]
+        return SumCheckProverMessage(p=self.prover.round(point, j))
+
+    def receive_verifier_msg(self, msg) -> None:
+        """Collect inner-sumcheck challenges (ref :459-468)."""
+        if isinstance(msg, SumCheckRoundResult):
+            if isinstance(msg.res, JthRound):
+                self.r.append(msg.res.r)
+            else:
+                raise GKRError("unexpected FinalRound from inner verifier")
+
+    def c_1(self) -> Felt:
+        return self.prover.c_1()
+
+
+# ---------- Verifier (component #14) ----------
+
+
+class _RunningSumCheck:
+    def __init__(self, verifier: SumCheckVerifier, add_i: DenseMLE, mul_i: DenseMLE):
+        self.bc: List[Felt] = []
+        self.verifier = verifier
+        self.add_i = add_i
+        self.mul_i = mul_i
+
+
+class Verifier:
+    """GKR verifier (ref :38-218)."""
+
+    def __init__(self, circuit: Circuit, field: FieldConfig):
+        self.circuit = circuit
+        self.field = field
+        self.r: List[List[Felt]] = []
+        self.m: List[Felt] = []
+        self.state: Optional[_RunningSumCheck] = None
+
+    # -- message dispatch (ref :177-207) --
+    def receive_prover_msg(self, msg, rng: FeltRng):
+        if isinstance(msg, SumCheckProverMessage):
+            return self._sum_check_step(msg.p, rng)
+        if isinstance(msg, StartSumCheck):
+            return self._start_round(msg.c_1, msg.round, msg.num_vars)
+        if isinstance(msg, FinalRoundMessage):
+            return self._final_round_message(msg.p, msg.q, rng)
+        if isinstance(msg, Begin):
+            return self._begin(msg.circuit_outputs, rng)
+        raise GKRError(f"unknown prover message {type(msg)}")
+
+    def _begin(self, circuit_outputs: List[Felt], rng: FeltRng) -> R:
+        num_output_vars = self.circuit.num_vars_at(0)
+        r_zero = [rng.draw(self.field) for _ in range(num_output_vars)]
+        m_zero = _mle_eval(circuit_outputs, r_zero, self.field)
+        self.r = [r_zero]
+        self.m = [m_zero]
+        return R(r=r_zero)
+
+    def _start_round(self, c_1: Felt, round_i: int, num_vars: int) -> RoundStarted:
+        """Build own add~/mul~ and an oracle-less inner verifier (ref :89-105)."""
+        add_i = self.circuit.add_i_ext(self.r[-1], round_i)
+        mul_i = self.circuit.mul_i_ext(self.r[-1], round_i)
+        verifier = SumCheckVerifier(num_vars, None)
+        verifier.set_c_1(c_1)
+        self.state = _RunningSumCheck(verifier, add_i, mul_i)
+        return RoundStarted(round_i)
+
+    def _sum_check_step(self, p: UniPoly, rng: FeltRng) -> SumCheckRoundResult:
+        if self.state is None:
+            raise WrongVerifierState()
+        res = self.state.verifier.round(p, rng)
+        if isinstance(res, JthRound):
+            self.state.bc.append(res.r)
+        return SumCheckRoundResult(res=res)
+
+    def final_random_point(self, rng: FeltRng) -> SumCheckRoundResult:
+        """Draw the last inner challenge directly (ref :108-119)."""
+        if self.state is None:
+            raise WrongVerifierState()
+        final_point = rng.draw(self.field)
+        self.state.bc.append(final_point)
+        return SumCheckRoundResult(res=JthRound(final_point))
+
+    def _final_round_message(self, p: UniPoly, q: UniPoly, rng: FeltRng) -> R:
+        """Check add~(bc)(q(0)+q(1)) + mul~(bc) q(0) q(1) == p(r_last), then
+        reduce two claims to one via the line trick (ref :139-174).
+
+        Like the reference (TODO at :149-151), q's degree is not checked —
+        a documented fidelity gap."""
+        if self.state is None:
+            raise WrongVerifierState()
+        st = self.state
+        zero, one = self.field.zero(), self.field.one()
+        q_0, q_1 = q.evaluate(zero), q.evaluate(one)
+        evaluation = st.add_i.evaluate(st.bc) * (q_0 + q_1) + st.mul_i.evaluate(
+            st.bc
+        ) * (q_0 * q_1)
+        if evaluation != p.evaluate(st.bc[-1]):
+            raise GKRError(
+                f"final round check failed: {evaluation} != p(r_last)"
+            )
+        r_star = rng.draw(self.field)
+        half = len(st.bc) // 2
+        b, c = st.bc[:half], st.bc[half:]
+        l = line(b, c)
+        r_next = [li.evaluate(r_star) for li in l]
+        m_next = q.evaluate(r_star)
+        self.r.append(r_next)
+        self.m.append(m_next)
+        self.state = None
+        return R(r=r_next)
+
+    def check_input(self, inputs: Sequence[Felt]) -> bool:
+        """Final check m_d == W~_input(r_d) (ref :210-217)."""
+        got = _mle_eval(list(inputs), self.r[-1], self.field)
+        return got == self.m[-1]
