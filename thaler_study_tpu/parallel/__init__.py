@@ -1,0 +1,26 @@
+"""Mesh-parallel proving over the sharded hypercube.
+
+The reference has no parallelism (single-threaded Rust; SURVEY.md section 2
+'Parallelism strategies: none'). Its TPU-native equivalents here:
+
+- data parallel / sequence parallel: the 2^n evaluation table sharded over
+  the mesh (``ShardedProductPoly``); local-variable folds touch no
+  interconnect, round sums all-reduce (d+1) scalars per round;
+- the distributed backend: ``jax.sharding`` + GSPMD-inserted collectives
+  (psum / all-gather) over ICI, replacing the reference's in-process
+  message passing;
+- challenge broadcast: replicated host scalars.
+
+TP/PP/EP have no analogue in the reference's behavior (SURVEY.md section 2);
+the multi-block protocols (GKR, triangles) shard the same way along their
+leading block — wired up in a later round.
+"""
+
+from .sharded import (
+    AXIS,
+    ShardedProductPoly,
+    make_mesh,
+    shard_factor,
+)
+
+__all__ = ["AXIS", "ShardedProductPoly", "make_mesh", "shard_factor"]

@@ -1,0 +1,287 @@
+"""Mesh-sharded sumcheck proving — the distributed prover core.
+
+The reference is single-threaded (SURVEY.md section 2: no rayon, no
+threads); its data-parallel object is implicit — the 2^n evaluation table.
+Here that table is explicitly sharded over a ``jax.sharding.Mesh``:
+
+Layout
+------
+A factor table of n = n_local + n_shard variables is a 2-D array
+
+    [2^n_shard, 2^n_local]   with axis 0 sharded over the mesh axis
+
+- axis 1 (local) holds protocol variables 0..n_local-1, MSB-first: every
+  fold of the first n_local rounds is a contiguous column-halving that
+  touches no interconnect;
+- axis 0 (sharded) holds the *last* protocol variables n_local..n-1 (axis-0
+  index bit j = variable n_local + j), so they fold last.
+
+Per round, XLA's GSPMD partitioner compiles the fused (fold + partial sums)
+program so that the only communication is the all-reduce of the (degree+1)
+round sums — the ``psum`` pattern of SURVEY.md section 5 — plus the
+replicated challenge broadcast.
+
+When the local variables are exhausted the residual [2^n_shard, 1] tables
+are gathered (2^n_shard elements — trivially small) and the remaining
+rounds run replicated via the ordinary :class:`ProductPoly`; axis-0's
+MSB-first bit order makes the gathered vector already internally ordered.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..fields import FArray, Felt, FieldConfig
+from ..ops.round_kernel import PolySpec
+from ..protocols.factor_poly import ProductPoly
+from ..sumcheck.univariate import UniPoly, interpolate_at_small_points
+
+AXIS = "hypercube"
+
+
+def make_mesh(devices=None, axis: str = AXIS) -> Mesh:
+    """A 1-D device mesh over the hypercube axis."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_factor(
+    table: FArray, mesh: Mesh, n_shard: int, axis: str = AXIS
+) -> FArray:
+    """Reshape a 1-D internal-order table to the sharded 2-D layout.
+
+    Internal 1-D order has variable 0 at the MSB; the sharded layout wants
+    the *last* n_shard variables on axis 0, so this is a [L, S] reshape
+    followed by a transpose, then a device_put with the row sharding.
+    """
+    n = table.shape[0].bit_length() - 1
+    n_local = n - n_shard
+    ndev = mesh.devices.size
+    if (1 << n_shard) % ndev != 0:
+        raise ValueError(
+            f"2^n_shard={1 << n_shard} must be divisible by the mesh size "
+            f"{ndev} (shard at least log2(ndev) variables)"
+        )
+    sharding = NamedSharding(mesh, P(axis, None))
+    limbs = tuple(
+        jax.device_put(
+            l.reshape(1 << n_local, 1 << n_shard).T, sharding
+        )
+        for l in table.limbs
+    )
+    return FArray(limbs, table.field)
+
+
+def _fold2d(tables: Sequence[FArray], r: FArray) -> Tuple[FArray, ...]:
+    out = []
+    for t in tables:
+        half = t.shape[1] // 2
+        lo, hi = t[:, :half], t[:, half:]
+        out.append(lo + (hi - lo) * r)
+    return tuple(out)
+
+
+def _sums2d(tables: Sequence[FArray], degree: int) -> FArray:
+    """Round sums s(0..degree) for a product of same-shape factors."""
+    views = []
+    half = tables[0].shape[1] // 2
+    parts = [(t[:, :half], t[:, half:]) for t in tables]
+    deltas = [hi - lo for lo, hi in parts]
+    prev = None
+    sums = []
+    for t_val in range(degree + 1):
+        if t_val == 0:
+            views = [lo for lo, _ in parts]
+        elif t_val == 1:
+            views = [hi for _, hi in parts]
+        else:
+            views = [v + d for v, d in zip(prev, deltas)]
+        prev = views
+        prod = views[0]
+        for v in views[1:]:
+            prod = prod * v
+        # local (axis 1) reduction first, then the small sharded axis —
+        # GSPMD turns the axis-0 reduction into the round-sum all-reduce
+        total = prod.sum(axis=1).sum(axis=0)
+        sums.append(total.reshape((1,)))
+    out = sums[0]
+    for s in sums[1:]:
+        out = out.concatenate(s, axis=0)
+    return out
+
+
+@lru_cache(maxsize=None)
+def _sharded_round_jit(do_fold: bool, degree: int, nfac: int, field: FieldConfig):
+    def impl(tables, r):
+        if do_fold:
+            tables = _fold2d(tables, r)
+        return _sums2d(tables, degree), tables
+
+    return jax.jit(impl)
+
+
+@lru_cache(maxsize=None)
+def _fold2d_jit(nfac: int, field: FieldConfig):
+    def impl(tables, r):
+        return _fold2d(tables, r)
+
+    return jax.jit(impl)
+
+
+@lru_cache(maxsize=None)
+def _sharded_c1_jit(nfac: int, field: FieldConfig):
+    def impl(tables):
+        prod = tables[0]
+        for t in tables[1:]:
+            prod = prod * t
+        return prod.sum(axis=1).sum(axis=0)
+
+    return jax.jit(impl)
+
+
+class ShardedProductPoly:
+    """A sharded single-block product polynomial (the SumCheckPolynomial
+    hot-path interface: round_univariate + sum_evaluations).
+
+    Covers the BASELINE sumcheck configs (products of full-hypercube MLE
+    factors, e.g. the matmul IP). Multi-block protocols shard analogously
+    per block (future work; see parallel/__init__ notes).
+    """
+
+    def __init__(
+        self,
+        tables: Sequence[FArray],
+        n_local: int,
+        n_shard: int,
+        mesh: Mesh,
+        degree: Optional[int] = None,
+    ):
+        self.tables = tuple(tables)  # 2-D [2^n_shard, 2^n_local_remaining]
+        self.n_local = n_local
+        self.n_shard = n_shard
+        self.mesh = mesh
+        self._degree = len(self.tables) if degree is None else degree
+        self._local_poly: Optional[ProductPoly] = None
+
+    @classmethod
+    def from_internal_tables(
+        cls, tables: Sequence[FArray], mesh: Mesh, n_shard: Optional[int] = None
+    ) -> "ShardedProductPoly":
+        n = tables[0].shape[0].bit_length() - 1
+        if n_shard is None:
+            n_shard = min(
+                (mesh.devices.size - 1).bit_length(), max(n - 1, 0)
+            )
+        return cls(
+            [shard_factor(t, mesh, n_shard) for t in tables],
+            n - n_shard,
+            n_shard,
+            mesh,
+        )
+
+    @property
+    def field(self) -> FieldConfig:
+        return self.tables[0].field
+
+    def num_vars(self) -> int:
+        if self._local_poly is not None:
+            return self._local_poly.num_vars()
+        return self.tables[0].shape[1].bit_length() - 1 + self.n_shard
+
+    def _gather_to_local(self) -> ProductPoly:
+        """Residual [2^n_shard, 1] tables -> replicated local ProductPoly."""
+        spec = PolySpec(
+            block_sizes=(self.n_shard,),
+            table_blocks=tuple((0,) for _ in self.tables),
+            terms=(tuple(range(len(self.tables))),),
+        )
+        gathered = []
+        for t in self.tables:
+            ints = t.to_ints().reshape(-1)  # axis-0 MSB order == internal
+            gathered.append(FArray.from_ints(
+                np.array([int(v) for v in ints], dtype=object), self.field
+            ))
+        return ProductPoly(spec, gathered)
+
+    def round_univariate(
+        self, r_prev: Optional[Felt]
+    ) -> Tuple[UniPoly, "ShardedProductPoly"]:
+        if self._local_poly is not None:
+            uni, new_local = self._local_poly.round_univariate(r_prev)
+            return uni, self._copy_with(local=new_local)
+        cols = self.tables[0].shape[1]
+        if r_prev is None:
+            if cols == 1:
+                # no local vars at all: run everything replicated
+                local = self._gather_to_local()
+                uni, new_local = local.round_univariate(None)
+                return uni, self._copy_with(local=new_local)
+            fn = _sharded_round_jit(
+                False, self._degree, len(self.tables), self.field
+            )
+            sums, tables = fn(self.tables, FArray.zeros((), self.field))
+            uni = interpolate_at_small_points(sums.to_felts(), self.field)
+            return uni, self._copy_with(tables=tables)
+        if cols == 2:
+            # this fold consumes the last local variable: fold on device,
+            # then gather the [2^n_shard, 1] residue and continue replicated
+            fn = _fold2d_jit(len(self.tables), self.field)
+            tables = fn(self.tables, FArray.scalar(r_prev))
+            new = self._copy_with(tables=tables)
+            local = new._gather_to_local()
+            uni, new_local = local.round_univariate(None)
+            return uni, new._copy_with(local=new_local)
+        fn = _sharded_round_jit(True, self._degree, len(self.tables), self.field)
+        sums, tables = fn(self.tables, FArray.scalar(r_prev))
+        uni = interpolate_at_small_points(sums.to_felts(), self.field)
+        return uni, self._copy_with(tables=tables)
+
+    def _copy_with(self, tables=None, local=None) -> "ShardedProductPoly":
+        new = ShardedProductPoly(
+            tables if tables is not None else self.tables,
+            self.n_local,
+            self.n_shard,
+            self.mesh,
+            self._degree,
+        )
+        new._local_poly = local if local is not None else self._local_poly
+        return new
+
+    def sum_evaluations(self) -> Felt:
+        if self._local_poly is not None:
+            return self._local_poly.sum_evaluations()
+        fn = _sharded_c1_jit(len(self.tables), self.field)
+        return fn(self.tables).item()
+
+    # the oracle path for tests: gather everything and evaluate locally
+    def evaluate(self, point: Sequence[Felt]) -> Felt:
+        poly = self._local_poly
+        if poly is None:
+            # rebuild a local ProductPoly over all remaining variables
+            n_cols = self.tables[0].shape[1].bit_length() - 1
+            spec = PolySpec(
+                block_sizes=(n_cols + self.n_shard,),
+                table_blocks=tuple((0,) for _ in self.tables),
+                terms=(tuple(range(len(self.tables))),),
+            )
+            flats = []
+            for t in self.tables:
+                ints = np.asarray(t.to_ints())  # [S, L]
+                # interleave back to internal 1-D: local vars are MSB
+                flat = ints.T.reshape(-1)
+                flats.append(
+                    FArray.from_ints(
+                        np.array([int(v) for v in flat], dtype=object),
+                        self.field,
+                    )
+                )
+            poly = ProductPoly(spec, flats)
+        return poly.evaluate(point)
+
+    def num_vars_total(self) -> int:
+        return self.num_vars()
