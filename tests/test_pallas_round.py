@@ -1,0 +1,66 @@
+"""Differential tests: Pallas fused round kernel vs the XLA path.
+
+Runs in interpreter mode on the CPU test mesh; the kernel body is the same
+jnp limb arithmetic either way, so results must match bit-for-bit.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from thaler_study_tpu.fields import F1572869, GOLDILOCKS, FArray
+from thaler_study_tpu.mle.dense import DenseMLE
+from thaler_study_tpu.ops import round_kernel
+from thaler_study_tpu.ops import pallas_round
+from thaler_study_tpu.ops.round_kernel import PolySpec
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    pallas_round.INTERPRET = True
+    pallas_round._build_call.cache_clear()
+    yield
+    pallas_round.INTERPRET = False
+    pallas_round._build_call.cache_clear()
+
+
+# goldilocks is validated on the real TPU (interpret-mode XLA-CPU compiles
+# of the 2-limb kernel are pathologically slow); mont32 covers the kernel
+# structure differentially here
+@pytest.mark.parametrize("field", [F1572869], ids=lambda f: f.name)
+@pytest.mark.parametrize("k", [2, 3])
+def test_pallas_matches_xla_round(field, k, rng):
+    n = 12  # above MIN_VARS so the pallas path engages
+    spec = PolySpec(
+        block_sizes=(n,),
+        table_blocks=tuple((0,) for _ in range(k)),
+        terms=(tuple(range(k)),),
+    )
+    tables = []
+    for _ in range(k):
+        evals = np.array(
+            [rng.randrange(field.p) for _ in range(1 << n)], dtype=np.uint64
+        )
+        tables.append(DenseMLE.from_evals_lsb(evals, n, field).evals)
+    r = FArray.scalar(field.felt(rng.randrange(field.p)))
+
+    assert pallas_round.supports(spec, field, 1 << n)
+    sums_p, folded_p = pallas_round.pallas_round_step(spec, tables, r)
+
+    sums_x, folded_x = round_kernel.round_step(spec, tables, r)
+
+    assert [int(v) for v in sums_p.to_ints()] == [
+        int(v) for v in sums_x.to_ints()
+    ]
+    for fp, fx in zip(folded_p, folded_x):
+        assert (np.asarray(fp.to_ints()) == np.asarray(fx.to_ints())).all()
+
+
+def test_supports_rejects_unsuitable():
+    spec_multi = PolySpec(
+        block_sizes=(3, 3), table_blocks=((0, 1), (0,)), terms=((0, 1),)
+    )
+    assert not pallas_round.supports(spec_multi, GOLDILOCKS, 1 << 13)
+    spec_small = PolySpec(block_sizes=(4,), table_blocks=((0,), (0,)), terms=((0, 1),))
+    assert not pallas_round.supports(spec_small, GOLDILOCKS, 1 << 4)

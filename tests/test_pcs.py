@@ -1,0 +1,75 @@
+"""Relaxed PCS tests (mirrors relaxed-pcs/src/lib.rs:309-339)."""
+
+import pytest
+
+from thaler_study_tpu.fields import F5
+from thaler_study_tpu.mle.dense import DenseMLE
+from thaler_study_tpu.pcs import (
+    DegreeMismatch,
+    EvalMismatch,
+    Prover,
+    Verifier,
+    all_field_values,
+    all_multidimensional_values,
+)
+from thaler_study_tpu.sumcheck import SeededRng, UniPoly
+
+
+def test_all_values():
+    assert [v.v for v in all_field_values(F5)] == [0, 1, 2, 3, 4]
+    grid = all_multidimensional_values(F5, 2)
+    assert len(grid) == 25
+    assert grid[0] == (F5.felt(0), F5.felt(0))
+    assert grid[-1] == (F5.felt(4), F5.felt(4))
+
+
+def test_it_works(rng):
+    """Full commit / line-restriction / open flow (ref it_works :309-339)."""
+    num_vars, degree = 2, 1
+    evals = [F5.felt(rng.randrange(5)) for _ in range(1 << num_vars)]
+    poly = DenseMLE.from_evals_lsb(evals, num_vars, F5)
+
+    prover = Prover(poly)
+    verifier = Verifier(num_vars, degree, prover.merkle_root())
+
+    srng = SeededRng(0)
+    b, c = verifier.random_line(srng, F5)
+    restriction = prover.poly_restriction_to_line(b, c)
+    point = verifier.challenge_prover(srng, F5)
+    proof, value = prover.challenge(point)
+    verifier.commited_univariate(restriction)
+    verifier.verify_prover_reply(proof, value)  # raises on failure
+
+
+def test_degree_check(rng):
+    num_vars, degree = 2, 1
+    evals = [F5.felt(rng.randrange(5)) for _ in range(4)]
+    poly = DenseMLE.from_evals_lsb(evals, num_vars, F5)
+    prover = Prover(poly)
+    verifier = Verifier(num_vars, degree, prover.merkle_root())
+    srng = SeededRng(1)
+    verifier.random_line(srng, F5)
+    with pytest.raises(DegreeMismatch):
+        verifier.commited_univariate(UniPoly([(5, F5.one())], F5))
+
+
+def test_cheating_prover_rejected(rng):
+    num_vars, degree = 2, 1
+    evals = [F5.felt((rng.randrange(1, 5))) for _ in range(4)]
+    poly = DenseMLE.from_evals_lsb(evals, num_vars, F5)
+    prover = Prover(poly)
+    verifier = Verifier(num_vars, degree, prover.merkle_root())
+    srng = SeededRng(2)
+    b, c = verifier.random_line(srng, F5)
+    # prover lies about the restriction by shifting it
+    restriction = prover.poly_restriction_to_line(b, c) + UniPoly(
+        [(0, F5.one())], F5
+    )
+    point = verifier.challenge_prover(srng, F5)
+    proof, value = prover.challenge(point)
+    try:
+        verifier.commited_univariate(restriction)
+    except DegreeMismatch:
+        return  # shifted poly may trip the degree check first — also a reject
+    with pytest.raises(EvalMismatch):
+        verifier.verify_prover_reply(proof, value)

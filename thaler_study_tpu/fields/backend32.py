@@ -16,8 +16,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import numpy as np
+
 U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+# numpy scalar so the constant embeds as a literal (Pallas-compatible)
+_MASK16 = np.uint32(0xFFFF)
 
 
 def mul32_hilo(a, b):

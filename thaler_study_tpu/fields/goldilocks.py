@@ -19,10 +19,14 @@ import jax.numpy as jnp
 
 from .backend32 import mul32_hilo
 
+import numpy as np
+
 U32 = jnp.uint32
-P_LO = jnp.uint32(0x00000001)
-P_HI = jnp.uint32(0xFFFFFFFF)
-EPS = jnp.uint32(0xFFFFFFFF)  # 2^32 - 1 === 2^64 mod p
+# numpy scalars (not jnp arrays): they embed as literals in traced code,
+# which keeps these functions usable inside Pallas kernel bodies
+P_LO = np.uint32(0x00000001)
+P_HI = np.uint32(0xFFFFFFFF)
+EPS = np.uint32(0xFFFFFFFF)  # 2^32 - 1 === 2^64 mod p
 
 
 def _carry_add(x, y):

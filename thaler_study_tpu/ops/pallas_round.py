@@ -1,0 +1,279 @@
+"""Pallas TPU kernel for the fused sumcheck round step (single-block products).
+
+One HBM pass per round instead of XLA's multi-pass reduction tree:
+
+    per tile of the quarter-size grid:
+      load 4 slices of each factor table (the two fold inputs for each of
+      the folded table's lo/hi halves),
+      fold:      f = lo + r*(hi - lo)            (written back to HBM)
+      products:  s0 += sum(prod_k f_lo_k)
+                 s1 += sum(prod_k f_hi_k)
+                 s_t += sum(prod_k (f_hi_k + (t-1)*delta_k))   t = 2..d
+      with the modular tile reduction done entirely in VMEM/registers.
+
+The limb arithmetic is the same jnp code the XLA path uses
+(fields/backend32.py, fields/goldilocks.py) — Pallas kernel bodies trace
+ordinary jnp — so the kernel is differential-tested against the XLA path
+bit-for-bit. Grid iteration on TPU is sequential per core, so the (d+1)
+round sums accumulate in a revisited output block.
+
+Covers k-factor single-block products (matmul IP, generic MLE products —
+the BASELINE throughput configs). Multi-block specs fall back to the XLA
+path in ops/round_kernel.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..fields import FArray, FieldConfig
+from ..fields import backend32 as b32
+from ..fields import goldilocks as gl
+
+try:  # pallas is TPU/Mosaic-specific; keep importable on plain CPU
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+# minimum table size for the pallas path; below this the XLA path is fine
+MIN_VARS = 12
+_LANES = 128
+_SUBLANES = 8
+
+# test hook: run kernels in interpreter mode (works on CPU); tests flip this
+# and clear _build_call.cache_clear()
+INTERPRET = False
+
+
+def _field_ops(field: FieldConfig):
+    """(num_limbs, add, sub, mul) over limb tuples for the field."""
+    if field.backend == "mont32":
+        p, pinv = field.p, field.mont_pinv_neg
+
+        def add(a, b):
+            return (b32.add(p, a[0], b[0]),)
+
+        def sub(a, b):
+            return (b32.sub(p, a[0], b[0]),)
+
+        def mul(a, b):
+            return (b32.mont_mul(p, pinv, a[0], b[0]),)
+
+        return 1, add, sub, mul
+
+    def add2(a, b):
+        return gl.add(a[0], a[1], b[0], b[1])
+
+    def sub2(a, b):
+        return gl.sub(a[0], a[1], b[0], b[1])
+
+    def mul2(a, b):
+        return gl.mul(a[0], a[1], b[0], b[1])
+
+    return 2, add2, sub2, mul2
+
+
+def _tree_reduce(vals: Tuple, add) -> Tuple:
+    """Modular reduction of a [rows, 128] tile to a (1, 128) row, then to a
+    (1, 1) scalar via a lane-halving tree. All in VMEM."""
+    rows = vals[0].shape[0]
+    while rows > 1:
+        half = rows // 2
+        vals = add(tuple(v[:half] for v in vals), tuple(v[half:] for v in vals))
+        rows = half
+    lanes = vals[0].shape[1]
+    while lanes > 1:
+        half = lanes // 2
+        vals = add(
+            tuple(v[:, :half] for v in vals), tuple(v[:, half:] for v in vals)
+        )
+        lanes = half
+    return vals
+
+
+def _make_kernel(field: FieldConfig, k: int, degree: int, rows: int):
+    nl, add, sub, mul = _field_ops(field)
+
+    def kernel(*refs):
+        # refs: [r_smem] + per-factor per-limb 4 slices (q0,q1,q2,q3)
+        #       + outputs: per-factor per-limb folded lo & hi + sums accum
+        r_ref = refs[0]
+        n_in = k * nl * 4
+        in_refs = refs[1 : 1 + n_in]
+        out_refs = refs[1 + n_in :]
+        fold_refs = out_refs[: k * nl * 2]
+        sums_ref = out_refs[k * nl * 2]
+
+        i = pl.program_id(0)
+
+        r = tuple(r_ref[0, limb] for limb in range(nl))
+        r_bcast = tuple(jnp.full((rows, _LANES), x, jnp.uint32) for x in r)
+
+        f_lo, f_hi, deltas = [], [], []
+        for f in range(k):
+            base = f * nl * 4
+            q = [
+                tuple(in_refs[base + limb * 4 + j][0] for limb in range(nl))
+                for j in range(4)
+            ]
+            # folded lo half: fold(q0, q2); folded hi half: fold(q1, q3)
+            d_lo = sub(q[2], q[0])
+            lo = add(q[0], mul(d_lo, r_bcast))
+            d_hi = sub(q[3], q[1])
+            hi = add(q[1], mul(d_hi, r_bcast))
+            for limb in range(nl):
+                fold_refs[(f * nl + limb) * 2][0] = lo[limb]
+                fold_refs[(f * nl + limb) * 2 + 1][0] = hi[limb]
+            f_lo.append(lo)
+            f_hi.append(hi)
+            deltas.append(sub(hi, lo))
+
+        # partial sums at t = 0..degree
+        views = None
+        tile_sums = []
+        for t in range(degree + 1):
+            if t == 0:
+                views = list(f_lo)
+            elif t == 1:
+                views = list(f_hi)
+            else:
+                views = [add(v, d) for v, d in zip(views, deltas)]
+            prod = views[0]
+            for v in views[1:]:
+                prod = mul(prod, v)
+            tile_sums.append(_tree_reduce(prod, add))
+
+        @pl.when(i == 0)
+        def _():
+            sums_ref[...] = jnp.zeros_like(sums_ref)
+
+        for t in range(degree + 1):
+            cur = tuple(
+                sums_ref[t : t + 1, limb : limb + 1] for limb in range(nl)
+            )
+            new = add(cur, tile_sums[t])
+            for limb in range(nl):
+                sums_ref[t : t + 1, limb : limb + 1] = new[limb]
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _build_call(field: FieldConfig, k: int, degree: int, n_points: int):
+    """Build the pallas_call for a round over tables of n_points entries."""
+    nl, _, _, _ = _field_ops(field)
+    quarter = n_points // 4
+    tile = min(quarter, 1 << 13)  # 8192-element tiles: [64, 128]
+    assert quarter % tile == 0
+    rows = tile // _LANES
+    num_tiles = quarter // tile
+    grid = (num_tiles,)
+
+    def slice_spec(which):
+        # table viewed as [4, quarter]; slice `which` of tile i
+        return pl.BlockSpec(
+            (1, rows, _LANES),
+            lambda i, w=which: (w, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # r scalar (1, nl)
+    for _ in range(k * nl):
+        for j in range(4):
+            in_specs.append(slice_spec(j))
+
+    out_specs = []
+    out_shapes = []
+    for _ in range(k * nl):
+        for _half in range(2):
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, rows, _LANES),
+                    lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            out_shapes.append(
+                jax.ShapeDtypeStruct((1, quarter // _LANES, _LANES), jnp.uint32)
+            )
+    out_specs.append(
+        pl.BlockSpec((degree + 1, nl), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    )
+    out_shapes.append(jax.ShapeDtypeStruct((degree + 1, nl), jnp.uint32))
+
+    kernel = _make_kernel(field, k, degree, rows)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=INTERPRET,
+    )
+
+    def run(tables: Sequence[FArray], r: FArray):
+        args = [jnp.stack([l.reshape(()) for l in r.limbs]).reshape(1, nl)]
+        for t in tables:
+            for l in t.limbs:
+                shaped = l.reshape(4, quarter // _LANES, _LANES)
+                # one copy per slice spec (q0..q3 views of the same array)
+                args.extend([shaped] * 4)
+        outs = call(*args)
+        folded = []
+        idx = 0
+        for f in range(k):
+            limbs = []
+            for limb in range(nl):
+                lo = outs[idx].reshape(-1)
+                hi = outs[idx + 1].reshape(-1)
+                limbs.append(jnp.concatenate([lo, hi]))
+                idx += 2
+            folded.append(FArray(tuple(limbs), field))
+        sums_raw = outs[idx]
+        sums = FArray(
+            tuple(sums_raw[:, limb] for limb in range(nl)), field
+        )
+        return sums, tuple(folded)
+
+    return jax.jit(run)
+
+
+def supports(spec, field: FieldConfig, n_points: int) -> bool:
+    """Can the pallas path run this round? (single-block pure product,
+    large enough, divisible tiling, on TPU)."""
+    if not HAVE_PALLAS:
+        return False
+    if len(spec.block_sizes) != 1 or len(spec.terms) != 1:
+        return False
+    if sorted(spec.terms[0]) != list(range(len(spec.table_blocks))):
+        return False
+    if any(tb != (0,) for tb in spec.table_blocks):
+        return False
+    if n_points < (1 << MIN_VARS):
+        return False
+    if INTERPRET:
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def pallas_round_step(spec, tables: Sequence[FArray], r: FArray):
+    """Fused fold + round sums via the Pallas kernel.
+
+    Matches ops.round_kernel.round_step(spec, tables, r) for supported specs.
+    """
+    field = tables[0].field
+    k = len(tables)
+    degree = spec.after_fold().degree()
+    fn = _build_call(field, k, degree, tables[0].shape[0])
+    return fn(tuple(tables), r)
