@@ -34,7 +34,6 @@ from typing import List, Sequence
 import numpy as np
 
 from ..fields import FArray, Felt, FieldConfig
-from ..mle.algorithms import eq_weight_table
 from ..mle.dense import DenseMLE
 
 
@@ -124,6 +123,19 @@ class Circuit:
         layers.reverse()
         return CircuitEvaluation(layers)
 
+    def evaluate_host_u64(self, inputs, p: int) -> List[np.ndarray]:
+        """Native-runtime forward pass on uint64 residues (for big circuits
+        whose layer values feed the prover as numpy arrays)."""
+        from .. import runtime
+
+        layers = [np.ascontiguousarray(inputs, dtype=np.uint64)]
+        cur = layers[0]
+        for b_idx, c_idx, is_mul in reversed(self._wiring):
+            cur = runtime.circuit_layer(cur, b_idx, c_idx, is_mul, p)
+            layers.append(cur)
+        layers.reverse()
+        return layers
+
     def evaluate_device(self, inputs: FArray) -> List[FArray]:
         """TPU forward pass: per layer, two gathers + add/mul + select.
 
@@ -173,21 +185,17 @@ class Circuit:
         ((c << k) | b) — the index layout the reference's dense triple loop
         produces (circuit.rs:163-173: a innermost, then b, then c).
         """
+        from .. import runtime
+
         k_next = self.num_vars_at(i + 1)
         b_idx, c_idx, is_mul = self._wiring[i]
         sel = is_mul == want_mul
-        # eq(r_i, bits(a)) for every gate label a, little-endian bit order
-        w = eq_weight_table(list(r_i), lsb_order=True).to_ints()
-        grid = np.zeros(1 << (2 * k_next), dtype=object)
-        positions = (c_idx.astype(np.int64) << k_next) | b_idx.astype(np.int64)
-        for gate_label in np.nonzero(sel)[0]:
-            pos = positions[gate_label]
-            grid[pos] = (grid[pos] + int(w[gate_label])) % field.p
-        return DenseMLE.from_evals_lsb(
-            np.array([int(v) for v in grid], dtype=object if field.p >= (1 << 63) else np.uint64),
-            2 * k_next,
-            field,
-        )
+        # eq(r_i, bits(a)) for every gate label a, little-endian bit order,
+        # then one scatter-add per selected gate — O(gates) on the native
+        # host runtime (exact u64 arithmetic, p < 2^64)
+        w = runtime.eq_table([f.v for f in r_i], field.p)
+        grid = runtime.wiring_scatter(b_idx, c_idx, sel, w, k_next, field.p)
+        return DenseMLE.from_evals_lsb(grid, 2 * k_next, field)
 
     def add_i_ext(self, r_i: Sequence[Felt], i: int) -> DenseMLE:
         """Dense MLE of add_i fixed at r_i (ref circuit.rs:152-181)."""

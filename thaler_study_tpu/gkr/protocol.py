@@ -129,18 +129,16 @@ def restrict_poly(
 def _mle_eval(evals: List[Felt], point: Sequence[Felt], field: FieldConfig) -> Felt:
     """Evaluate the MLE of a value vector at a field point — host for small
     vectors, device folds for large."""
+    from .. import runtime
+
     n = len(point)
     assert len(evals) == 1 << n
-    if n <= 10:
-        one = field.one()
-        acc = field.zero()
-        for i, ev in enumerate(evals):
-            w = one
-            for j in range(n):
-                w = w * (point[j] if (i >> j) & 1 else (one - point[j]))
-            acc = acc + ev * w
-        return acc
-    return DenseMLE.from_evals_lsb(evals, n, field).evaluate(list(point))
+    return Felt(
+        runtime.mle_eval(
+            [e.v for e in evals], [x.v for x in point], field.p
+        ),
+        field,
+    )
 
 
 # ---------- Prover (component #13) ----------

@@ -1,0 +1,196 @@
+"""Native C++ host runtime (ctypes-loaded), with pure-python fallback.
+
+Builds ``native.cpp`` with g++ on first import (cached as a .so next to the
+source). Provides exact u64 field kernels for the host-side O(gates)/O(2^n)
+work: eq tables, wiring scatters, circuit forward evaluation, MLE folds.
+Everything falls back to numpy/python automatically when the toolchain is
+unavailable, so the framework never hard-depends on the extension.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "native.cpp")
+_SO = os.path.join(os.path.dirname(__file__), "_thaler_native.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        src_mtime = os.path.getmtime(_SRC)
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
+            subprocess.run(
+                [
+                    "g++",
+                    "-O3",
+                    "-march=native",
+                    "-shared",
+                    "-fPIC",
+                    "-o",
+                    _SO,
+                    _SRC,
+                ],
+                check=True,
+                capture_output=True,
+            )
+        return True
+    except Exception as e:  # pragma: no cover
+        print(f"[thaler_study_tpu.runtime] native build failed: {e}", file=sys.stderr)
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _build():
+        return None
+    lib = ctypes.CDLL(_SO)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ts_eq_table.argtypes = [u64p, ctypes.c_int32, u64p, ctypes.c_uint64]
+    lib.ts_wiring_scatter.argtypes = [
+        i32p, i32p, u8p, u64p, ctypes.c_int64, ctypes.c_int32, u64p,
+        ctypes.c_uint64,
+    ]
+    lib.ts_circuit_layer.argtypes = [
+        u64p, i32p, i32p, u8p, ctypes.c_int64, u64p, ctypes.c_uint64
+    ]
+    lib.ts_mle_fold.argtypes = [
+        u64p, ctypes.c_int64, ctypes.c_uint64, u64p, ctypes.c_uint64
+    ]
+    lib.ts_mle_eval.argtypes = [
+        u64p, ctypes.c_int64, u64p, ctypes.c_int32, u64p, ctypes.c_uint64
+    ]
+    lib.ts_mle_eval.restype = ctypes.c_uint64
+    lib.ts_summod_arr.argtypes = [u64p, ctypes.c_int64, ctypes.c_uint64]
+    lib.ts_summod_arr.restype = ctypes.c_uint64
+    for name in ("ts_addmod_arr", "ts_submod_arr", "ts_mulmod_arr"):
+        getattr(lib, name).argtypes = [
+            u64p, u64p, u64p, ctypes.c_int64, ctypes.c_uint64
+        ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u64(a) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.uint64)
+
+
+def _ptr(a, typ):
+    return a.ctypes.data_as(typ)
+
+
+_U64P = ctypes.POINTER(ctypes.c_uint64)
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+
+
+def eq_table(r, p: int) -> np.ndarray:
+    """eq weights over little-endian indices; exact for p < 2^64."""
+    lib = _load()
+    r = _u64(r)
+    n = len(r)
+    out = np.empty(1 << n, dtype=np.uint64)
+    if lib is None:
+        out[0] = 1 % p
+        size = 1
+        for j in reversed(range(n)):
+            rj = int(r[j]) % p
+            for i in range(size - 1, -1, -1):
+                w = int(out[i])
+                hi = w * rj % p
+                out[2 * i + 1] = hi
+                out[2 * i] = (w - hi) % p
+            size <<= 1
+        return out
+    lib.ts_eq_table(_ptr(r, _U64P), n, _ptr(out, _U64P), p)
+    return out
+
+
+def wiring_scatter(b_idx, c_idx, sel, eq_w, k_next: int, p: int) -> np.ndarray:
+    lib = _load()
+    b_idx = np.ascontiguousarray(b_idx, dtype=np.int32)
+    c_idx = np.ascontiguousarray(c_idx, dtype=np.int32)
+    sel = np.ascontiguousarray(sel, dtype=np.uint8)
+    eq_w = _u64(eq_w)
+    grid = np.zeros(1 << (2 * k_next), dtype=np.uint64)
+    if lib is None:
+        for g in np.nonzero(sel)[0]:
+            pos = (int(c_idx[g]) << k_next) | int(b_idx[g])
+            grid[pos] = (int(grid[pos]) + int(eq_w[g])) % p
+        return grid
+    lib.ts_wiring_scatter(
+        _ptr(b_idx, _I32P),
+        _ptr(c_idx, _I32P),
+        _ptr(sel, _U8P),
+        _ptr(eq_w, _U64P),
+        len(b_idx),
+        k_next,
+        _ptr(grid, _U64P),
+        p,
+    )
+    return grid
+
+
+def circuit_layer(cur, b_idx, c_idx, is_mul, p: int) -> np.ndarray:
+    lib = _load()
+    cur = _u64(cur)
+    b_idx = np.ascontiguousarray(b_idx, dtype=np.int32)
+    c_idx = np.ascontiguousarray(c_idx, dtype=np.int32)
+    is_mul = np.ascontiguousarray(is_mul, dtype=np.uint8)
+    out = np.empty(len(b_idx), dtype=np.uint64)
+    if lib is None:
+        for g in range(len(b_idx)):
+            l, r_ = int(cur[b_idx[g]]), int(cur[c_idx[g]])
+            out[g] = (l * r_ % p) if is_mul[g] else ((l + r_) % p)
+        return out
+    lib.ts_circuit_layer(
+        _ptr(cur, _U64P),
+        _ptr(b_idx, _I32P),
+        _ptr(c_idx, _I32P),
+        _ptr(is_mul, _U8P),
+        len(b_idx),
+        _ptr(out, _U64P),
+        p,
+    )
+    return out
+
+
+def mle_eval(evals, point, p: int) -> int:
+    """Exact MLE evaluation (little-endian variable order) on host."""
+    lib = _load()
+    evals = _u64(evals)
+    point = _u64(point)
+    if lib is None:
+        cur = [int(v) % p for v in evals]
+        for r in point:
+            r = int(r)
+            cur = [
+                (cur[2 * i] + r * (cur[2 * i + 1] - cur[2 * i])) % p
+                for i in range(len(cur) // 2)
+            ]
+        return cur[0]
+    scratch = np.empty(max(len(evals) // 2, 1), dtype=np.uint64)
+    return int(
+        lib.ts_mle_eval(
+            _ptr(evals, _U64P),
+            len(evals),
+            _ptr(point, _U64P),
+            len(point),
+            _ptr(scratch, _U64P),
+            p,
+        )
+    )

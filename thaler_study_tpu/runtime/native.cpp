@@ -1,0 +1,122 @@
+// Native host runtime for thaler_study_tpu.
+//
+// The reference's "native" substrate is arkworks' Rust field arithmetic
+// (SURVEY.md section 2, native components). The TPU build keeps the device
+// compute path in JAX/XLA/Pallas; this library is the *host* runtime around
+// it: exact u64 field arithmetic (128-bit intermediates), circuit forward
+// evaluation, and the GKR wiring-predicate scatter — the pieces that are
+// O(gates) host work and would otherwise be python loops at 2^24 scale.
+//
+// Plain C ABI (loaded via ctypes); arrays are caller-allocated numpy
+// buffers. All values are canonical residues < p < 2^64.
+
+#include <cstdint>
+#include <cstring>
+
+using u64 = uint64_t;
+using u128 = unsigned __int128;
+
+extern "C" {
+
+static inline u64 addmod(u64 a, u64 b, u64 p) {
+    // a, b < p < 2^64: detect wrap via comparison
+    u64 s = a + b;
+    if (s < a || s >= p) s -= p;
+    return s;
+}
+
+static inline u64 submod(u64 a, u64 b, u64 p) {
+    return a >= b ? a - b : a + (p - b);
+}
+
+static inline u64 mulmod(u64 a, u64 b, u64 p) {
+    return (u64)(((u128)a * (u128)b) % p);
+}
+
+void ts_addmod_arr(const u64* a, const u64* b, u64* out, int64_t n, u64 p) {
+    for (int64_t i = 0; i < n; ++i) out[i] = addmod(a[i], b[i], p);
+}
+
+void ts_submod_arr(const u64* a, const u64* b, u64* out, int64_t n, u64 p) {
+    for (int64_t i = 0; i < n; ++i) out[i] = submod(a[i], b[i], p);
+}
+
+void ts_mulmod_arr(const u64* a, const u64* b, u64* out, int64_t n, u64 p) {
+    for (int64_t i = 0; i < n; ++i) out[i] = mulmod(a[i], b[i], p);
+}
+
+u64 ts_summod_arr(const u64* a, int64_t n, u64 p) {
+    u64 acc = 0;
+    for (int64_t i = 0; i < n; ++i) acc = addmod(acc, a[i] % p, p);
+    return acc;
+}
+
+// eq-weight table over n variables at point r (little-endian index order):
+// out[idx] = prod_j (r[j] if bit_j(idx) else 1 - r[j]).  O(2^n) by the
+// doubling construction (ref multilinear-extensions/src/lib.rs:7-18).
+void ts_eq_table(const u64* r, int32_t n, u64* out, u64 p) {
+    out[0] = 1 % p;
+    int64_t size = 1;
+    // the pair-doubling step parks the expanded variable at bit 0 and
+    // shifts the others up, so expand from the last variable to the first
+    // to land variable j at index bit j (little-endian)
+    for (int32_t j = n - 1; j >= 0; --j) {
+        u64 rj = r[j] % p;
+        for (int64_t i = size - 1; i >= 0; --i) {
+            u64 w = out[i];
+            u64 hi = mulmod(w, rj, p);
+            out[2 * i + 1] = hi;
+            out[2 * i] = submod(w, hi, p);
+        }
+        size <<= 1;
+    }
+}
+
+// GKR wiring scatter: grid[(c_idx[g] << k_next) | b_idx[g]] += eq_w[g]
+// for every gate g with sel[g] != 0. grid has 2^(2*k_next) entries and
+// must be zero-initialized by the caller.
+void ts_wiring_scatter(const int32_t* b_idx, const int32_t* c_idx,
+                       const uint8_t* sel, const u64* eq_w, int64_t n_gates,
+                       int32_t k_next, u64* grid, u64 p) {
+    for (int64_t g = 0; g < n_gates; ++g) {
+        if (!sel[g]) continue;
+        int64_t pos = ((int64_t)c_idx[g] << k_next) | (int64_t)b_idx[g];
+        grid[pos] = addmod(grid[pos], eq_w[g] % p, p);
+    }
+}
+
+// One circuit layer forward step: out[g] = cur[b[g]] (op) cur[c[g]].
+void ts_circuit_layer(const u64* cur, const int32_t* b_idx,
+                      const int32_t* c_idx, const uint8_t* is_mul,
+                      int64_t n_gates, u64* out, u64 p) {
+    for (int64_t g = 0; g < n_gates; ++g) {
+        u64 lhs = cur[b_idx[g]], rhs = cur[c_idx[g]];
+        out[g] = is_mul[g] ? mulmod(lhs, rhs, p) : addmod(lhs, rhs, p);
+    }
+}
+
+// MLE fold-in-half (arkworks fix_variables semantics, little-endian pairs):
+// out[i] = e[2i] + r*(e[2i+1] - e[2i]).
+void ts_mle_fold(const u64* evals, int64_t n, u64 r, u64* out, u64 p) {
+    for (int64_t i = 0; i < n / 2; ++i) {
+        u64 lo = evals[2 * i] % p, hi = evals[2 * i + 1] % p;
+        out[i] = addmod(lo, mulmod(submod(hi, lo, p), r % p, p), p);
+    }
+}
+
+// Streaming MLE evaluation at a point (little-endian variable order):
+// repeated fold without allocating per-step (scratch provided by caller,
+// size n/2).
+u64 ts_mle_eval(const u64* evals, int64_t n, const u64* point, int32_t nvars,
+                u64* scratch, u64 p) {
+    const u64* src = evals;
+    int64_t size = n;
+    for (int32_t j = 0; j < nvars; ++j) {
+        ts_mle_fold(src, size, point[j], scratch, p);
+        src = scratch;
+        size /= 2;
+    }
+    return size == 1 ? src[0] % p : 0;
+}
+
+}  // extern "C"
