@@ -1,0 +1,160 @@
+"""Linear-time GKR layer sumcheck (Libra-style bookkeeping tables).
+
+The reference pays O(2^(k_i + 2k_{i+1})) per layer to materialize the dense
+wiring tables (gkr-protocol/src/lib.rs:388-404) and O(4^k) per sumcheck
+round over the dense (b, c) grid. That caps circuits at toy sizes. This
+module proves the *same* layer claim
+
+    sum_{b,c} [ add~(r,b,c) (W(b) + W(c)) + mul~(r,b,c) W(b) W(c) ]
+
+with O(gates) host bookkeeping + O(2^k) device sumcheck work, split into
+two phases (the Libra algorithm, Xie et al. 2019 — public technique):
+
+phase 1 (rounds over b): h(b) = W(b)*A1(b) + A2(b), where
+    A1(b) = sum_c add~(r,b,c) + sum_c mul~(r,b,c) W(c)
+    A2(b) = sum_c add~(r,b,c) W(c)
+are one-scatter-per-gate tables (native runtime).
+
+phase 2 (rounds over c), b fixed at u: f(u,c) =
+    B1(c)*w_u + B1(c)*W(c) + B2(c)*w_u*W(c), where
+    B1(c) = add~(r,u,c), B2(c) = mul~(r,u,c)   (again one scatter per gate)
+    w_u = W~(u)  (a scalar factor in the product spec).
+
+Because sumcheck round messages are determined by the summed polynomial
+itself, the transcript is bit-identical to the dense-W path — asserted in
+tests/test_gkr_linear.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .. import runtime
+from ..fields import FArray, Felt, FieldConfig
+from ..mle.dense import DenseMLE
+from ..ops.round_kernel import PolySpec
+from ..protocols.factor_poly import ProductPoly
+from ..sumcheck.univariate import UniPoly
+from .circuit import Circuit
+
+
+def _mulmod_arr(a: np.ndarray, b: np.ndarray, p: int) -> np.ndarray:
+    lib = runtime._load()
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    b = np.ascontiguousarray(b, dtype=np.uint64)
+    out = np.empty(len(a), dtype=np.uint64)
+    if lib is None:
+        for i in range(len(a)):
+            out[i] = int(a[i]) * int(b[i]) % p
+        return out
+    lib.ts_mulmod_arr(
+        runtime._ptr(a, runtime._U64P),
+        runtime._ptr(b, runtime._U64P),
+        runtime._ptr(out, runtime._U64P),
+        len(a),
+        p,
+    )
+    return out
+
+
+class LibraW:
+    """The layer-i GKR round polynomial, proven in linear time.
+
+    Implements the sumcheck hot-path interface (round_univariate /
+    sum_evaluations) consumed by sumcheck.Prover.
+    """
+
+    def __init__(
+        self,
+        circuit: Circuit,
+        layer_i: int,
+        r_i: List[Felt],
+        w_next: np.ndarray,  # layer i+1 values, canonical uint64
+        field: FieldConfig,
+    ):
+        self.field = field
+        p = field.p
+        k = circuit.num_vars_at(layer_i + 1)
+        self.k = k
+        self.j = 0  # next round index (0..2k-1)
+        self.u: List[Felt] = []  # phase-1 challenges
+        b_idx, c_idx, is_mul = circuit._wiring[layer_i]
+        self._wiring = (b_idx, c_idx, is_mul)
+        self.w_next = np.ascontiguousarray(w_next, dtype=np.uint64)
+
+        eq_r = runtime.eq_table([f.v for f in r_i], p)
+        self.eq_r = eq_r
+        w_at_c = self.w_next[c_idx]
+        eqr_w = _mulmod_arr(eq_r[: len(b_idx)], w_at_c, p)
+        # A1: add gates contribute eq_r, mul gates eq_r * W(c)
+        vals_a1 = np.where(is_mul, eqr_w, eq_r[: len(b_idx)])
+        a1 = runtime.scatter_add(b_idx.astype(np.int64), vals_a1, 1 << k, p)
+        # A2: add gates contribute eq_r * W(c)
+        vals_a2 = np.where(is_mul, np.uint64(0), eqr_w)
+        a2 = runtime.scatter_add(b_idx.astype(np.int64), vals_a2, 1 << k, p)
+
+        w_mle = DenseMLE.from_evals_lsb(self.w_next, k, field)
+        a1_mle = DenseMLE.from_evals_lsb(a1, k, field)
+        a2_mle = DenseMLE.from_evals_lsb(a2, k, field)
+        spec = PolySpec(
+            block_sizes=(k,),
+            table_blocks=((0,), (0,), (0,)),
+            terms=((0, 1), (2,)),
+        )
+        self._inner = ProductPoly(spec, (w_mle.evals, a1_mle.evals, a2_mle.evals))
+
+    def num_vars(self) -> int:
+        return 2 * self.k
+
+    def sum_evaluations(self) -> Felt:
+        return self._inner.sum_evaluations()
+
+    def _enter_phase2(self, r_last: Felt) -> None:
+        p = self.field.p
+        k = self.k
+        b_idx, c_idx, is_mul = self._wiring
+        self.u.append(r_last)
+        eq_u = runtime.eq_table([f.v for f in self.u], p)
+        w_u = runtime.mle_eval(self.w_next, [f.v for f in self.u], p)
+        t = _mulmod_arr(self.eq_r[: len(b_idx)], eq_u[b_idx], p)
+        b1 = runtime.scatter_add(
+            c_idx.astype(np.int64), np.where(is_mul, np.uint64(0), t), 1 << k, p
+        )
+        b2 = runtime.scatter_add(
+            c_idx.astype(np.int64), np.where(is_mul, t, np.uint64(0)), 1 << k, p
+        )
+        b1_mle = DenseMLE.from_evals_lsb(b1, k, self.field)
+        b2_mle = DenseMLE.from_evals_lsb(b2, k, self.field)
+        wc_mle = DenseMLE.from_evals_lsb(self.w_next, k, self.field)
+        w_u_arr = FArray.from_ints(np.array([w_u], dtype=np.uint64), self.field)
+        spec = PolySpec(
+            block_sizes=(k,),
+            table_blocks=((0,), (0,), (0,), ()),
+            terms=((0, 3), (0, 2), (1, 3, 2)),
+        )
+        self._inner = ProductPoly(
+            spec, (b1_mle.evals, b2_mle.evals, wc_mle.evals, w_u_arr)
+        )
+
+    def round_univariate(
+        self, r_prev: Optional[Felt]
+    ) -> Tuple[UniPoly, "LibraW"]:
+        j = self.j
+        self.j += 1
+        if j == 0:
+            uni, self._inner = self._inner.round_univariate(None)
+            return uni, self
+        if j < self.k:
+            self.u.append(r_prev)
+            uni, self._inner = self._inner.round_univariate(r_prev)
+            return uni, self
+        if j == self.k:
+            # r_prev completes u; fold it into phase 1 is unnecessary —
+            # phase 2 is built directly from u and starts fresh over c
+            self._enter_phase2(r_prev)
+            uni, self._inner = self._inner.round_univariate(None)
+            return uni, self
+        uni, self._inner = self._inner.round_univariate(r_prev)
+        return uni, self

@@ -145,36 +145,64 @@ def _mle_eval(evals: List[Felt], point: Sequence[Felt], field: FieldConfig) -> F
 
 
 class Prover:
-    """GKR prover (ref :324-474)."""
+    """GKR prover (ref :324-474).
 
-    def __init__(self, circuit: Circuit, inputs: Sequence[Felt], field: FieldConfig):
+    The circuit forward pass runs on the native host runtime (u64 residues);
+    each layer's sumcheck uses the linear-time LibraW polynomial by default
+    (O(gates) bookkeeping + O(2^k) device rounds) — transcripts are
+    identical to the reference's dense-W formulation, which remains
+    available via ``use_linear=False`` (and is cross-checked in tests).
+    """
+
+    def __init__(
+        self,
+        circuit: Circuit,
+        inputs: Sequence[Felt],
+        field: FieldConfig,
+        use_linear: bool = True,
+    ):
+        import numpy as np
+
         self.circuit = circuit
         self.field = field
-        self.evaluation: CircuitEvaluation = circuit.evaluate(list(inputs))
+        self.use_linear = use_linear
+        vals = np.array([f.v for f in inputs], dtype=np.uint64)
+        self.layers_u64 = circuit.evaluate_host_u64(vals, field.p)
         self.i = 0
         self.prover: Optional[SumCheckProver] = None
         self.w: Optional[DenseMLE] = None
         self.r: List[Felt] = []
 
+    @property
+    def evaluation(self) -> CircuitEvaluation:
+        """Felt view of the per-layer values (reference-compatible)."""
+        return CircuitEvaluation(
+            [[Felt(int(v), self.field) for v in layer] for layer in self.layers_u64]
+        )
+
     def start_protocol(self) -> Begin:
         """Send W_0, the claimed output values (ref :363-367)."""
-        return Begin(circuit_outputs=list(self.evaluation.layers[0]))
+        return Begin(
+            circuit_outputs=[Felt(int(v), self.field) for v in self.layers_u64[0]]
+        )
 
     def start_round(self, i: int, r_i: Sequence[Felt]) -> StartSumCheck:
-        """Spin up the layer-i sumcheck over W (ref :373-436).
-
-        Unlike the reference's dense O(2^(k_i + 2k_{i+1})) triple loop
-        (ref :388-404), the wiring MLEs come from the sparse eq-scatter
-        (circuit.py), already fixed at r_i.
-        """
+        """Spin up the layer-i sumcheck over W (ref :373-436)."""
         num_vars_next = self.circuit.num_vars_at(i + 1)
         w_b = DenseMLE.from_evals_lsb(
-            list(self.evaluation.layers[i + 1]), num_vars_next, self.field
+            self.layers_u64[i + 1], num_vars_next, self.field
         )
         self.w = w_b
-        add_i = self.circuit.add_i_ext(list(r_i), i)
-        mul_i = self.circuit.mul_i_ext(list(r_i), i)
-        w = W.new(add_i, mul_i, w_b, w_b)
+        if self.use_linear:
+            from .linear import LibraW
+
+            w = LibraW(
+                self.circuit, i, list(r_i), self.layers_u64[i + 1], self.field
+            )
+        else:
+            add_i = self.circuit.add_i_ext(list(r_i), i)
+            mul_i = self.circuit.mul_i_ext(list(r_i), i)
+            w = W.new(add_i, mul_i, w_b, w_b)
         self.i = i
         self.prover = SumCheckProver(w)
         self.r = []
@@ -210,11 +238,16 @@ class Prover:
 
 
 class _RunningSumCheck:
-    def __init__(self, verifier: SumCheckVerifier, add_i: DenseMLE, mul_i: DenseMLE):
+    """Inner-sumcheck state. The wiring predicates are kept *symbolically*
+    (layer + r_i) and evaluated sparsely at the final bc point in O(gates)
+    via the native runtime — same value the reference obtains from its
+    materialized dense MLEs (circuit.rs:152-212), checked in tests."""
+
+    def __init__(self, verifier: SumCheckVerifier, layer_i: int, r_i: List[Felt]):
         self.bc: List[Felt] = []
         self.verifier = verifier
-        self.add_i = add_i
-        self.mul_i = mul_i
+        self.layer_i = layer_i
+        self.r_i = r_i
 
 
 class Verifier:
@@ -248,13 +281,31 @@ class Verifier:
         return R(r=r_zero)
 
     def _start_round(self, c_1: Felt, round_i: int, num_vars: int) -> RoundStarted:
-        """Build own add~/mul~ and an oracle-less inner verifier (ref :89-105)."""
-        add_i = self.circuit.add_i_ext(self.r[-1], round_i)
-        mul_i = self.circuit.mul_i_ext(self.r[-1], round_i)
+        """Set up an oracle-less inner verifier (ref :89-105); the wiring
+        predicates are evaluated sparsely at the end instead of being
+        materialized as 2^(2k) tables up front."""
         verifier = SumCheckVerifier(num_vars, None)
         verifier.set_c_1(c_1)
-        self.state = _RunningSumCheck(verifier, add_i, mul_i)
+        self.state = _RunningSumCheck(verifier, round_i, list(self.r[-1]))
         return RoundStarted(round_i)
+
+    def _wiring_at(self, st: "_RunningSumCheck") -> tuple:
+        """add~(r_i, b*, c*) and mul~(r_i, b*, c*) in O(gates)."""
+        from .. import runtime
+
+        p = self.field.p
+        half = len(st.bc) // 2
+        eq_r = runtime.eq_table([f.v for f in st.r_i], p)
+        eq_b = runtime.eq_table([f.v for f in st.bc[:half]], p)
+        eq_c = runtime.eq_table([f.v for f in st.bc[half:]], p)
+        b_idx, c_idx, is_mul = self.circuit._wiring[st.layer_i]
+        add_val = runtime.wiring_eval_sparse(
+            eq_r[: len(b_idx)], eq_b, eq_c, b_idx, c_idx, ~is_mul, p
+        )
+        mul_val = runtime.wiring_eval_sparse(
+            eq_r[: len(b_idx)], eq_b, eq_c, b_idx, c_idx, is_mul, p
+        )
+        return Felt(add_val, self.field), Felt(mul_val, self.field)
 
     def _sum_check_step(self, p: UniPoly, rng: FeltRng) -> SumCheckRoundResult:
         if self.state is None:
@@ -283,9 +334,8 @@ class Verifier:
         st = self.state
         zero, one = self.field.zero(), self.field.one()
         q_0, q_1 = q.evaluate(zero), q.evaluate(one)
-        evaluation = st.add_i.evaluate(st.bc) * (q_0 + q_1) + st.mul_i.evaluate(
-            st.bc
-        ) * (q_0 * q_1)
+        add_at_bc, mul_at_bc = self._wiring_at(st)
+        evaluation = add_at_bc * (q_0 + q_1) + mul_at_bc * (q_0 * q_1)
         if evaluation != p.evaluate(st.bc[-1]):
             raise GKRError(
                 f"final round check failed: {evaluation} != p(r_last)"

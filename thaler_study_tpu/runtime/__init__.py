@@ -73,6 +73,17 @@ def _load():
     lib.ts_mle_eval.restype = ctypes.c_uint64
     lib.ts_summod_arr.argtypes = [u64p, ctypes.c_int64, ctypes.c_uint64]
     lib.ts_summod_arr.restype = ctypes.c_uint64
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ts_scatter_add.argtypes = [
+        i64p, u64p, ctypes.c_int64, u64p, ctypes.c_uint64
+    ]
+    lib.ts_gather_mulmod.argtypes = [
+        u64p, i32p, ctypes.c_int64, u64p, u64p, ctypes.c_uint64
+    ]
+    lib.ts_wiring_eval_sparse.argtypes = [
+        u64p, u64p, u64p, i32p, i32p, u8p, ctypes.c_int64, ctypes.c_uint64
+    ]
+    lib.ts_wiring_eval_sparse.restype = ctypes.c_uint64
     for name in ("ts_addmod_arr", "ts_submod_arr", "ts_mulmod_arr"):
         getattr(lib, name).argtypes = [
             u64p, u64p, u64p, ctypes.c_int64, ctypes.c_uint64
@@ -167,6 +178,69 @@ def circuit_layer(cur, b_idx, c_idx, is_mul, p: int) -> np.ndarray:
         p,
     )
     return out
+
+
+_I64P = ctypes.POINTER(ctypes.c_int64)
+
+
+def scatter_add(pos, vals, grid_size: int, p: int) -> np.ndarray:
+    """grid[pos[g]] += vals[g] mod p over a fresh zero grid."""
+    lib = _load()
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    vals = _u64(vals)
+    grid = np.zeros(grid_size, dtype=np.uint64)
+    if lib is None:
+        for g in range(len(pos)):
+            grid[pos[g]] = (int(grid[pos[g]]) + int(vals[g])) % p
+        return grid
+    lib.ts_scatter_add(
+        _ptr(pos, _I64P), _ptr(vals, _U64P), len(pos), _ptr(grid, _U64P), p
+    )
+    return grid
+
+
+def gather_mulmod(table, idx, scale, p: int) -> np.ndarray:
+    """out[g] = table[idx[g]] * scale[g] mod p."""
+    lib = _load()
+    table = _u64(table)
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    scale = _u64(scale)
+    out = np.empty(len(idx), dtype=np.uint64)
+    if lib is None:
+        for g in range(len(idx)):
+            out[g] = int(table[idx[g]]) * int(scale[g]) % p
+        return out
+    lib.ts_gather_mulmod(
+        _ptr(table, _U64P), _ptr(idx, _I32P), len(idx), _ptr(scale, _U64P),
+        _ptr(out, _U64P), p,
+    )
+    return out
+
+
+def wiring_eval_sparse(eq_r, eq_b, eq_c, b_idx, c_idx, sel, p: int) -> int:
+    """Sparse add~/mul~ evaluation at a full (r, b, c) point. O(gates)."""
+    lib = _load()
+    eq_r = _u64(eq_r)
+    eq_b = _u64(eq_b)
+    eq_c = _u64(eq_c)
+    b_idx = np.ascontiguousarray(b_idx, dtype=np.int32)
+    c_idx = np.ascontiguousarray(c_idx, dtype=np.int32)
+    sel = np.ascontiguousarray(sel, dtype=np.uint8)
+    if lib is None:
+        acc = 0
+        for g in np.nonzero(sel)[0]:
+            acc = (
+                acc
+                + int(eq_r[g]) * int(eq_b[b_idx[g]]) % p * int(eq_c[c_idx[g]])
+            ) % p
+        return acc
+    return int(
+        lib.ts_wiring_eval_sparse(
+            _ptr(eq_r, _U64P), _ptr(eq_b, _U64P), _ptr(eq_c, _U64P),
+            _ptr(b_idx, _I32P), _ptr(c_idx, _I32P), _ptr(sel, _U8P),
+            len(b_idx), p,
+        )
+    )
 
 
 def mle_eval(evals, point, p: int) -> int:

@@ -85,6 +85,36 @@ void ts_wiring_scatter(const int32_t* b_idx, const int32_t* c_idx,
     }
 }
 
+// Generic modular scatter-add: grid[pos[g]] += vals[g].
+void ts_scatter_add(const int64_t* pos, const u64* vals, int64_t n,
+                    u64* grid, u64 p) {
+    for (int64_t g = 0; g < n; ++g)
+        grid[pos[g]] = addmod(grid[pos[g]], vals[g] % p, p);
+}
+
+// out[g] = table[idx[g]] * scale[g] mod p (gather + multiply).
+void ts_gather_mulmod(const u64* table, const int32_t* idx, int64_t n,
+                      const u64* scale, u64* out, u64 p) {
+    for (int64_t g = 0; g < n; ++g)
+        out[g] = mulmod(table[idx[g]] % p, scale[g] % p, p);
+}
+
+// Sparse wiring-predicate evaluation at a full point:
+//   sum over selected gates g of eq_r[g] * eq_b[b_idx[g]] * eq_c[c_idx[g]]
+// (gate label a == position g in the layer). O(gates), the verifier-side
+// replacement for materializing the dense 2^(2k) table.
+u64 ts_wiring_eval_sparse(const u64* eq_r, const u64* eq_b, const u64* eq_c,
+                          const int32_t* b_idx, const int32_t* c_idx,
+                          const uint8_t* sel, int64_t n_gates, u64 p) {
+    u64 acc = 0;
+    for (int64_t g = 0; g < n_gates; ++g) {
+        if (!sel[g]) continue;
+        u64 t = mulmod(eq_r[g] % p, eq_b[b_idx[g]] % p, p);
+        acc = addmod(acc, mulmod(t, eq_c[c_idx[g]] % p, p), p);
+    }
+    return acc;
+}
+
 // One circuit layer forward step: out[g] = cur[b[g]] (op) cur[c[g]].
 void ts_circuit_layer(const u64* cur, const int32_t* b_idx,
                       const int32_t* c_idx, const uint8_t* is_mul,
