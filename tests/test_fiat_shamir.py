@@ -151,3 +151,45 @@ def test_transcript_deterministic(rng):
         field,
     )
     assert t1.to_bytes() == t2.to_bytes()
+
+
+def test_resume_transcript_byte_identical(rng):
+    """Checkpoint after m rounds, resume with a fresh prover -> identical
+    bytes; tampered checkpoints detected with verify_prefix."""
+    from thaler_study_tpu.fiat_shamir import (
+        SerializationError,
+        resume_transcript,
+    )
+
+    field = F389
+    n = 3
+    size = 1 << n
+    a = [rng.randrange(field.p) for _ in range(size * size)]
+    b = [rng.randrange(field.p) for _ in range(size * size)]
+    point = [field.felt(rng.randrange(field.p)) for _ in range(2 * n)]
+
+    def fresh():
+        return SumcheckInteractiveProver(
+            Prover(MatMulG.new(n, a, b, point, field))
+        )
+
+    full = generate_transcript(fresh(), field)
+    for cut in (0, 1, 2):
+        partial = FiatShamirTranscript(full.g[:cut])
+        resumed = resume_transcript(fresh(), field, partial)
+        assert resumed.to_bytes() == full.to_bytes(), f"cut={cut}"
+    # verify_prefix re-derives and checks the prefix
+    resumed = resume_transcript(
+        fresh(), field, FiatShamirTranscript(full.g[:2]), verify_prefix=True
+    )
+    assert resumed.to_bytes() == full.to_bytes()
+    # a foreign checkpoint is rejected under verify_prefix
+    bad = bytearray(full.g[0])
+    bad[0] ^= 1
+    with pytest.raises(SerializationError):
+        resume_transcript(
+            fresh(),
+            field,
+            FiatShamirTranscript([bytes(bad)] + full.g[1:2]),
+            verify_prefix=True,
+        )

@@ -14,6 +14,7 @@ from .transcript import (
     SumcheckInteractiveProver,
     SumcheckInteractiveVerifier,
     generate_transcript,
+    resume_transcript,
     verify_transcript,
 )
 
@@ -29,6 +30,7 @@ __all__ = [
     "SumcheckInteractiveProver",
     "SumcheckInteractiveVerifier",
     "generate_transcript",
+    "resume_transcript",
     "verify_transcript",
     "SerializationError",
 ]

@@ -54,6 +54,13 @@ class SumcheckInteractiveProver:
     def round(self, j: int, r_j: Felt) -> bytes:
         return serialize_unipoly(self.prover.round(r_j, j))
 
+    def advance(self, r_j: Felt) -> None:
+        """Fold a past challenge without recomputing its round message —
+        the cheap path when resuming from a checkpointed transcript
+        (prover state = folded tables + challenges, SURVEY.md section 5)."""
+        self.prover.r.append(r_j)
+        self.prover.g = self.prover.g.fix_variables([r_j])
+
     def num_rounds(self) -> int:
         return self.prover.num_vars()
 
@@ -132,6 +139,57 @@ def generate_transcript(
     hash_input = bytearray(g_1)
     g = [g_1]
     for j in range(1, prover.num_rounds()):
+        r_j = hasher.hash_to_field(bytes(hash_input), 1)[0]
+        g_j = prover.round(j, r_j)
+        hash_input.extend(g_j)
+        g.append(g_j)
+    return FiatShamirTranscript(g)
+
+
+def resume_transcript(
+    prover,
+    field: FieldConfig,
+    partial: FiatShamirTranscript,
+    dst: bytes = b"",
+    verify_prefix: bool = False,
+) -> FiatShamirTranscript:
+    """Resume a non-interactive proof from a partial transcript checkpoint.
+
+    The transcript is the framework's checkpoint format: the challenge
+    stream is re-derivable from the recorded messages, so a fresh prover is
+    fast-forwarded by folding those challenges (``advance``; no partial-sum
+    recomputation) and then continues producing the remaining rounds —
+    byte-identical to an uninterrupted run.
+
+    ``verify_prefix=True`` additionally recomputes each checkpointed round
+    message and checks it against the recorded bytes (detects a checkpoint
+    that does not belong to this prover's inputs; costs the same as
+    re-proving the prefix).
+    """
+    hasher = DefaultFieldHasher(field, dst)
+    t = len(partial.g)
+    if t == 0:
+        return generate_transcript(prover, field, dst)
+    if verify_prefix:
+        g_1 = prover.g_1()
+        if g_1 != partial.g[0]:
+            raise SerializationError("checkpoint prefix mismatch at round 0")
+    g = list(partial.g)
+    hash_input = bytearray()
+    for j in range(t):
+        if j >= 1:
+            r_j = hasher.hash_to_field(bytes(hash_input), 1)[0]
+            if verify_prefix:
+                g_j = prover.round(j, r_j)
+                if g_j != partial.g[j]:
+                    raise SerializationError(
+                        f"checkpoint prefix mismatch at round {j}"
+                    )
+            else:
+                prover.advance(r_j)
+        # round 0 needs no state replay: emitting g_1 does not fold
+        hash_input.extend(partial.g[j])
+    for j in range(t, prover.num_rounds()):
         r_j = hasher.hash_to_field(bytes(hash_input), 1)[0]
         g_j = prover.round(j, r_j)
         hash_input.extend(g_j)

@@ -1,5 +1,14 @@
-"""Profiling and instrumentation utilities."""
+"""Profiling, instrumentation, and configuration utilities."""
 
+from .config import DEFAULT, FrameworkConfig
 from .counters import COUNTS, count_round
+from .profiling import RoundTimer, device_trace
 
-__all__ = ["COUNTS", "count_round"]
+__all__ = [
+    "COUNTS",
+    "count_round",
+    "FrameworkConfig",
+    "DEFAULT",
+    "RoundTimer",
+    "device_trace",
+]

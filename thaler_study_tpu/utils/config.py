@@ -1,0 +1,77 @@
+"""Framework configuration.
+
+The reference has no config system — every parameter is a function argument
+or a const-generic field type (SURVEY.md section 5). The TPU build needs a
+small amount of deployment configuration: which field backend, how the mesh
+is laid out, kernel thresholds. One frozen dataclass, overridable per call
+and via THALER_* environment variables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+from ..fields import BABYBEAR, F5, F389, F1572869, GOLDILOCKS, FieldConfig
+
+_FIELDS = {
+    "f5": F5,
+    "f389": F389,
+    "f1572869": F1572869,
+    "goldilocks": GOLDILOCKS,
+    "babybear": BABYBEAR,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameworkConfig:
+    """Global knobs for the prover runtime."""
+
+    # field for protocols that do not receive one explicitly
+    field_name: str = "goldilocks"
+    # mesh axis name + how many hypercube variables to shard (None = auto:
+    # log2 of the device count)
+    mesh_axis: str = "hypercube"
+    shard_vars: Optional[int] = None
+    # kernel selection
+    use_pallas: bool = False  # opt-in; XLA path currently faster
+    pallas_min_vars: int = 12
+    # persistent compilation cache directory ("" disables)
+    compile_cache_dir: str = ".jax_cache"
+
+    @property
+    def field(self) -> FieldConfig:
+        return _FIELDS[self.field_name]
+
+    @classmethod
+    def from_env(cls) -> "FrameworkConfig":
+        """Environment overrides: THALER_FIELD, THALER_SHARD_VARS,
+        THALER_PALLAS, THALER_CACHE_DIR."""
+        kw = {}
+        if os.environ.get("THALER_FIELD"):
+            kw["field_name"] = os.environ["THALER_FIELD"].lower()
+        if os.environ.get("THALER_SHARD_VARS"):
+            kw["shard_vars"] = int(os.environ["THALER_SHARD_VARS"])
+        if os.environ.get("THALER_PALLAS"):
+            kw["use_pallas"] = os.environ["THALER_PALLAS"] == "1"
+        if os.environ.get("THALER_CACHE_DIR") is not None:
+            kw["compile_cache_dir"] = os.environ.get(
+                "THALER_CACHE_DIR", cls.compile_cache_dir
+            )
+        return cls(**kw)
+
+    def apply_jax_config(self) -> None:
+        """Install the persistent compilation cache (idempotent)."""
+        if self.compile_cache_dir:
+            import jax
+
+            jax.config.update(
+                "jax_compilation_cache_dir", self.compile_cache_dir
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.0
+            )
+
+
+DEFAULT = FrameworkConfig()
