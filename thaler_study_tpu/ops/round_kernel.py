@@ -130,6 +130,62 @@ def _sum_all_axes(x: FArray) -> FArray:
     return x
 
 
+# terms whose broadcast grid exceeds this use the pairwise contraction
+# (memory O(n^2) instead of O(n^3); identical modular result)
+_CONTRACT_THRESHOLD = 1 << 22
+
+
+def _term_total(
+    spec: PolySpec, term, views, halved_block0: bool
+) -> FArray:
+    """Sum a term's product over its covered variables.
+
+    Detects the triangle pattern — three 2-block factors covering
+    (X,Y), (Y,Z), (X,Z) — and, above a grid-size threshold, contracts
+    s = sum_{x,y} f1[x,y] * (f3 @ f2^T)[x,y] via the chunked modular
+    matmul instead of materializing the 3-D broadcast grid.
+    """
+    from .modmatmul import modmatmul_impl
+
+    def dims_of(k):
+        out = []
+        for b in spec.table_blocks[k]:
+            d = 1 << spec.block_sizes[b]
+            if b == 0 and halved_block0:
+                d //= 2
+            out.append(d)
+        return tuple(out) if out else (1,)
+
+    tbs = [spec.table_blocks[k] for k in term]
+    if len(term) == 3 and sorted(len(tb) for tb in tbs) == [2, 2, 2]:
+        blocks = sorted(set().union(*map(set, tbs)))
+        if len(blocks) == 3:
+            x_b, y_b, z_b = blocks
+            by_cover = {frozenset(tb): k for tb, k in zip(tbs, term)}
+            k1 = by_cover.get(frozenset((x_b, y_b)))
+            k2 = by_cover.get(frozenset((y_b, z_b)))
+            k3 = by_cover.get(frozenset((x_b, z_b)))
+            if None not in (k1, k2, k3):
+                d1, d2, d3 = dims_of(k1), dims_of(k2), dims_of(k3)
+                grid = d1[0] * d1[1] * d2[1]
+                if grid > _CONTRACT_THRESHOLD:
+                    from .modmatmul import _mxu_modmatmul_impl
+
+                    f1 = views[k1].reshape(*d1)
+                    f2 = views[k2].reshape(*d2)
+                    f3 = views[k3].reshape(*d3)
+                    if grid >= (1 << 24):
+                        m = _mxu_modmatmul_impl(f3, f2)  # [X, Y] on the MXU
+                    else:
+                        m = modmatmul_impl(f3, f2)
+                    return _sum_all_axes(f1 * m)
+
+    prod = views[term[0]]
+    for k in term[1:]:
+        prod = prod * views[k]
+    return _sum_all_axes(prod)
+
+
 def _round_sums(spec: PolySpec, tables: Sequence[FArray], degree: int) -> FArray:
     """Partial sums s(t), t = 0..degree, of the current round."""
     field = tables[0].field
@@ -168,15 +224,12 @@ def _round_sums(spec: PolySpec, tables: Sequence[FArray], degree: int) -> FArray
         views = per_t_views[t_val]
         acc = None
         for term in spec.terms:
-            prod = views[term[0]]
-            for k in term[1:]:
-                prod = prod * views[k]
             blocks, nvars = _term_vars(spec, term)
             # sum over the variables the term actually covers, then account
             # for the 2^missing multiplicity of the ones it does not (the
             # current variable is excluded from the rest-sum)
             missing = total_vars - 1 - (nvars - 1 if 0 in blocks else nvars)
-            contrib = _sum_all_axes(prod)
+            contrib = _term_total(spec, term, views, halved_block0=True)
             if missing:
                 contrib = contrib * _pow2_scalar(field, missing)
             acc = contrib if acc is None else acc + contrib
@@ -266,13 +319,14 @@ def _sum_products_jit(spec: PolySpec, field: FieldConfig):
     total_vars = spec.num_vars()
 
     def impl(tables):
+        views = [
+            tables[k].reshape(_broadcast_dims(spec, k))
+            for k in range(len(tables))
+        ]
         acc = None
         for term in spec.terms:
-            prod = tables[term[0]].reshape(_broadcast_dims(spec, term[0]))
-            for k in term[1:]:
-                prod = prod * tables[k].reshape(_broadcast_dims(spec, k))
             blocks, nvars = _term_vars(spec, term)
-            contrib = _sum_all_axes(prod)
+            contrib = _term_total(spec, term, views, halved_block0=False)
             if total_vars - nvars:
                 contrib = contrib * _pow2_scalar(field, total_vars - nvars)
             acc = contrib if acc is None else acc + contrib
