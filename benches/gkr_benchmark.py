@@ -1,0 +1,133 @@
+"""GKR prover benchmark: wall-clock over a large layered circuit.
+
+BASELINE config 5: full GKR prover on a 2^24-gate layered circuit. Builds a
+depth x width random ADD/MUL circuit (width*depth gates), runs the complete
+protocol (linear-time prover + sparse verifier), and reports per-phase
+timings. Defaults to 2^22 gates (16 x 2^18) for a quick run; pass
+--depth 16 --width-log 20 for the full 2^24.
+
+Usage: python benches/gkr_benchmark.py [--depth 16] [--width-log 18]
+"""
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np  # noqa: E402
+
+
+def build_circuit(depth, width_log, rng):
+    from thaler_study_tpu.gkr import Circuit, CircuitLayer, Gate, GateType
+
+    width = 1 << width_log
+    layers = []
+    for _ in range(depth):
+        b = rng.integers(0, width, width)
+        c = rng.integers(0, width, width)
+        mul = rng.random(width) < 0.5
+        layers.append(
+            CircuitLayer(
+                [
+                    Gate(GateType.MUL if m else GateType.ADD, (int(x), int(y)))
+                    for x, y, m in zip(b, c, mul)
+                ]
+            )
+        )
+    return Circuit(layers, width)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--depth", type=int, default=16)
+    ap.add_argument("--width-log", type=int, default=18)
+    ap.add_argument("--verify", action="store_true", default=True)
+    args = ap.parse_args()
+
+    from thaler_study_tpu.fields import GOLDILOCKS as F
+    from thaler_study_tpu.gkr import Prover, R, Verifier
+    from thaler_study_tpu.sumcheck import SeededRng
+
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    circuit = build_circuit(args.depth, args.width_log, rng)
+    t_build = time.perf_counter() - t0
+
+    inputs = F.felts(rng.integers(0, 1 << 62, 1 << args.width_log).tolist())
+
+    t0 = time.perf_counter()
+    prover = Prover(circuit, inputs, F)
+    t_forward = time.perf_counter() - t0
+
+    srng = SeededRng(0)
+    verifier = Verifier(circuit, F)
+    t0 = time.perf_counter()
+    r_i = verifier.receive_prover_msg(prover.start_protocol(), srng).r
+    t_prove = 0.0
+    t_verify = 0.0
+    for i in range(args.depth):
+        ta = time.perf_counter()
+        msg = prover.start_round(i, r_i)
+        t_prove += time.perf_counter() - ta
+        nv = 2 * circuit.num_vars_at(i + 1)
+        tb = time.perf_counter()
+        verifier.receive_prover_msg(msg, srng)
+        t_verify += time.perf_counter() - tb
+        for j in range(nv - 1):
+            ta = time.perf_counter()
+            pm = prover.round_msg(j)
+            t_prove += time.perf_counter() - ta
+            tb = time.perf_counter()
+            vm = verifier.receive_prover_msg(pm, srng)
+            t_verify += time.perf_counter() - tb
+            prover.receive_verifier_msg(vm)
+        prover.receive_verifier_msg(verifier.final_random_point(srng))
+        ta = time.perf_counter()
+        pm = prover.round_msg(nv - 1)
+        t_prove += time.perf_counter() - ta
+        tb = time.perf_counter()
+        vm = verifier.receive_prover_msg(pm, srng)
+        t_verify += time.perf_counter() - tb
+        assert isinstance(vm, R)
+        r_i = vm.r
+    ok = verifier.check_input(inputs)
+    total = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "bench": "gkr_prover_full_protocol",
+                "gates": args.depth << args.width_log,
+                "depth": args.depth,
+                "width": 1 << args.width_log,
+                "field": F.name,
+                "accepted": bool(ok),
+                "circuit_build_s": round(t_build, 3),
+                "forward_pass_s": round(t_forward, 3),
+                "prover_s": round(t_prove, 3),
+                "verifier_s": round(t_verify, 3),
+                "wall_s": round(total, 3),
+                "device": str(jax.devices()[0]),
+            }
+        ),
+        flush=True,
+    )
+    assert ok
+
+
+if __name__ == "__main__":
+    main()
