@@ -95,3 +95,43 @@ def test_linear_larger_circuit():
     circuit = _random_circuit(3, 7, 7, rng)
     inputs = [rng.randrange(field.p) for _ in range(1 << 7)]
     _drive(circuit, inputs, field, 13, use_linear=True)
+
+
+def test_sharded_gkr_matches_local():
+    """GKR over the 8-device mesh == single-device, message for message."""
+    from thaler_study_tpu.parallel import make_mesh
+
+    rng = random.Random(21)
+    field = GOLDILOCKS
+    circuit = _random_circuit(2, 5, 5, rng)
+    inputs = [rng.randrange(field.p) for _ in range(1 << 5)]
+
+    def drive(mesh):
+        srng = SeededRng(3)
+        felt_inputs = field.felts(inputs)
+        prover = Prover(circuit, felt_inputs, field, mesh=mesh, n_shard=3)
+        log = []
+        msg = prover.start_protocol()
+        verifier = Verifier(circuit, field)
+        r_i = verifier.receive_prover_msg(msg, srng).r
+        for i in range(len(circuit.layers)):
+            msg = prover.start_round(i, r_i)
+            log.append(msg.c_1.v)
+            nv = 2 * circuit.num_vars_at(i + 1)
+            verifier.receive_prover_msg(msg, srng)
+            for j in range(nv - 1):
+                pm = prover.round_msg(j)
+                log.append(tuple((d, c.v) for d, c in pm.p.terms))
+                vm = verifier.receive_prover_msg(pm, srng)
+                prover.receive_verifier_msg(vm)
+            prover.receive_verifier_msg(verifier.final_random_point(srng))
+            pm = prover.round_msg(nv - 1)
+            log.append(tuple((d, c.v) for d, c in pm.p.terms))
+            vm = verifier.receive_prover_msg(pm, srng)
+            r_i = vm.r
+        assert verifier.check_input(felt_inputs)
+        return log
+
+    local = drive(None)
+    sharded = drive(make_mesh())
+    assert local == sharded

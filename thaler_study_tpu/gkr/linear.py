@@ -73,8 +73,12 @@ class LibraW:
         r_i: List[Felt],
         w_next: np.ndarray,  # layer i+1 values, canonical uint64
         field: FieldConfig,
+        mesh=None,
+        n_shard=None,
     ):
         self.field = field
+        self.mesh = mesh
+        self.n_shard = n_shard
         p = field.p
         k = circuit.num_vars_at(layer_i + 1)
         self.k = k
@@ -98,12 +102,21 @@ class LibraW:
         w_mle = DenseMLE.from_evals_lsb(self.w_next, k, field)
         a1_mle = DenseMLE.from_evals_lsb(a1, k, field)
         a2_mle = DenseMLE.from_evals_lsb(a2, k, field)
-        spec = PolySpec(
-            block_sizes=(k,),
-            table_blocks=((0,), (0,), (0,)),
-            terms=((0, 1), (2,)),
-        )
-        self._inner = ProductPoly(spec, (w_mle.evals, a1_mle.evals, a2_mle.evals))
+        tables = (w_mle.evals, a1_mle.evals, a2_mle.evals)
+        terms = ((0, 1), (2,))
+        if mesh is not None:
+            from ..parallel import ShardedProductPoly
+
+            self._inner = ShardedProductPoly.from_internal_tables(
+                tables, mesh, n_shard=n_shard, terms=terms
+            )
+        else:
+            spec = PolySpec(
+                block_sizes=(k,),
+                table_blocks=((0,), (0,), (0,)),
+                terms=terms,
+            )
+            self._inner = ProductPoly(spec, tables)
 
     def num_vars(self) -> int:
         return 2 * self.k
@@ -129,14 +142,21 @@ class LibraW:
         b2_mle = DenseMLE.from_evals_lsb(b2, k, self.field)
         wc_mle = DenseMLE.from_evals_lsb(self.w_next, k, self.field)
         w_u_arr = FArray.from_ints(np.array([w_u], dtype=np.uint64), self.field)
-        spec = PolySpec(
-            block_sizes=(k,),
-            table_blocks=((0,), (0,), (0,), ()),
-            terms=((0, 3), (0, 2), (1, 3, 2)),
-        )
-        self._inner = ProductPoly(
-            spec, (b1_mle.evals, b2_mle.evals, wc_mle.evals, w_u_arr)
-        )
+        tables = (b1_mle.evals, b2_mle.evals, wc_mle.evals, w_u_arr)
+        terms = ((0, 3), (0, 2), (1, 3, 2))
+        if self.mesh is not None:
+            from ..parallel import ShardedProductPoly
+
+            self._inner = ShardedProductPoly.from_internal_tables(
+                tables, self.mesh, n_shard=self.n_shard, terms=terms
+            )
+        else:
+            spec = PolySpec(
+                block_sizes=(k,),
+                table_blocks=((0,), (0,), (0,), ()),
+                terms=terms,
+            )
+            self._inner = ProductPoly(spec, tables)
 
     def round_univariate(
         self, r_prev: Optional[Felt]

@@ -160,12 +160,16 @@ class Prover:
         inputs: Sequence[Felt],
         field: FieldConfig,
         use_linear: bool = True,
+        mesh=None,
+        n_shard=None,
     ):
         import numpy as np
 
         self.circuit = circuit
         self.field = field
         self.use_linear = use_linear
+        self.mesh = mesh
+        self.n_shard = n_shard
         vals = np.array([f.v for f in inputs], dtype=np.uint64)
         self.layers_u64 = circuit.evaluate_host_u64(vals, field.p)
         self.i = 0
@@ -197,7 +201,13 @@ class Prover:
             from .linear import LibraW
 
             w = LibraW(
-                self.circuit, i, list(r_i), self.layers_u64[i + 1], self.field
+                self.circuit,
+                i,
+                list(r_i),
+                self.layers_u64[i + 1],
+                self.field,
+                mesh=self.mesh,
+                n_shard=self.n_shard,
             )
         else:
             add_i = self.circuit.add_i_ext(list(r_i), i)

@@ -77,38 +77,60 @@ def shard_factor(
     return FArray(limbs, table.field)
 
 
+def _is_scalar(t: FArray) -> bool:
+    return t.shape == (1, 1)
+
+
 def _fold2d(tables: Sequence[FArray], r: FArray) -> Tuple[FArray, ...]:
     out = []
     for t in tables:
+        if _is_scalar(t):
+            out.append(t)
+            continue
         half = t.shape[1] // 2
         lo, hi = t[:, :half], t[:, half:]
         out.append(lo + (hi - lo) * r)
     return tuple(out)
 
 
-def _sums2d(tables: Sequence[FArray], degree: int) -> FArray:
-    """Round sums s(0..degree) for a product of same-shape factors."""
-    views = []
-    half = tables[0].shape[1] // 2
-    parts = [(t[:, :half], t[:, half:]) for t in tables]
-    deltas = [hi - lo for lo, hi in parts]
+def _sums2d(
+    tables: Sequence[FArray], degree: int, terms: Tuple[Tuple[int, ...], ...]
+) -> FArray:
+    """Round sums s(0..degree) for a sum of products of same-block factors
+    (scalar (1,1) factors broadcast; they have no block-0 variable)."""
+    parts = []
+    for t in tables:
+        if _is_scalar(t):
+            parts.append((t, None))
+            continue
+        half = t.shape[1] // 2
+        parts.append((t[:, :half], t[:, half:]))
+    deltas = [
+        (hi - lo) if hi is not None else None for lo, hi in parts
+    ]
     prev = None
     sums = []
     for t_val in range(degree + 1):
         if t_val == 0:
             views = [lo for lo, _ in parts]
         elif t_val == 1:
-            views = [hi for _, hi in parts]
+            views = [hi if hi is not None else lo for lo, hi in parts]
         else:
-            views = [v + d for v, d in zip(prev, deltas)]
+            views = [
+                v + d if d is not None else v
+                for v, d in zip(prev, deltas)
+            ]
         prev = views
-        prod = views[0]
-        for v in views[1:]:
-            prod = prod * v
-        # local (axis 1) reduction first, then the small sharded axis —
-        # GSPMD turns the axis-0 reduction into the round-sum all-reduce
-        total = prod.sum(axis=1).sum(axis=0)
-        sums.append(total.reshape((1,)))
+        acc = None
+        for term in terms:
+            prod = views[term[0]]
+            for k in term[1:]:
+                prod = prod * views[k]
+            # local (axis 1) reduction first, then the small sharded axis —
+            # GSPMD turns the axis-0 reduction into the round-sum all-reduce
+            total = prod.sum(axis=1).sum(axis=0)
+            acc = total if acc is None else acc + total
+        sums.append(acc.reshape((1,)))
     out = sums[0]
     for s in sums[1:]:
         out = out.concatenate(s, axis=0)
@@ -116,11 +138,16 @@ def _sums2d(tables: Sequence[FArray], degree: int) -> FArray:
 
 
 @lru_cache(maxsize=None)
-def _sharded_round_jit(do_fold: bool, degree: int, nfac: int, field: FieldConfig):
+def _sharded_round_jit(
+    do_fold: bool,
+    degree: int,
+    terms: Tuple[Tuple[int, ...], ...],
+    field: FieldConfig,
+):
     def impl(tables, r):
         if do_fold:
             tables = _fold2d(tables, r)
-        return _sums2d(tables, degree), tables
+        return _sums2d(tables, degree, terms), tables
 
     return jax.jit(impl)
 
@@ -134,12 +161,16 @@ def _fold2d_jit(nfac: int, field: FieldConfig):
 
 
 @lru_cache(maxsize=None)
-def _sharded_c1_jit(nfac: int, field: FieldConfig):
+def _sharded_c1_jit(terms: Tuple[Tuple[int, ...], ...], field: FieldConfig):
     def impl(tables):
-        prod = tables[0]
-        for t in tables[1:]:
-            prod = prod * t
-        return prod.sum(axis=1).sum(axis=0)
+        acc = None
+        for term in terms:
+            prod = tables[term[0]]
+            for k in term[1:]:
+                prod = prod * tables[k]
+            total = prod.sum(axis=1).sum(axis=0)
+            acc = total if acc is None else acc + total
+        return acc
 
     return jax.jit(impl)
 
@@ -159,46 +190,71 @@ class ShardedProductPoly:
         n_local: int,
         n_shard: int,
         mesh: Mesh,
+        terms: Optional[Tuple[Tuple[int, ...], ...]] = None,
         degree: Optional[int] = None,
     ):
-        self.tables = tuple(tables)  # 2-D [2^n_shard, 2^n_local_remaining]
+        self.tables = tuple(tables)  # 2-D [2^n_shard, 2^n_local_remaining],
+        # except scalar factors which are (1, 1)
         self.n_local = n_local
         self.n_shard = n_shard
         self.mesh = mesh
-        self._degree = len(self.tables) if degree is None else degree
+        self.terms = (
+            (tuple(range(len(self.tables))),) if terms is None else tuple(terms)
+        )
+        if degree is None:
+            degree = max(
+                sum(1 for k in term if not _is_scalar(self.tables[k]))
+                for term in self.terms
+            )
+        self._degree = degree
         self._local_poly: Optional[ProductPoly] = None
 
     @classmethod
     def from_internal_tables(
-        cls, tables: Sequence[FArray], mesh: Mesh, n_shard: Optional[int] = None
+        cls,
+        tables: Sequence[FArray],
+        mesh: Mesh,
+        n_shard: Optional[int] = None,
+        terms: Optional[Tuple[Tuple[int, ...], ...]] = None,
     ) -> "ShardedProductPoly":
-        n = tables[0].shape[0].bit_length() - 1
+        """Shard 1-D internal-order tables; length-1 tables are treated as
+        scalar (blockless) factors and stay replicated."""
+        n = max(t.shape[0] for t in tables).bit_length() - 1
         if n_shard is None:
             n_shard = min(
                 (mesh.devices.size - 1).bit_length(), max(n - 1, 0)
             )
-        return cls(
-            [shard_factor(t, mesh, n_shard) for t in tables],
-            n - n_shard,
-            n_shard,
-            mesh,
-        )
+        sharded = [
+            t.reshape(1, 1)
+            if t.shape[0] == 1
+            else shard_factor(t, mesh, n_shard)
+            for t in tables
+        ]
+        return cls(sharded, n - n_shard, n_shard, mesh, terms=terms)
 
     @property
     def field(self) -> FieldConfig:
         return self.tables[0].field
 
+    def _main_cols(self) -> int:
+        for t in self.tables:
+            if not _is_scalar(t):
+                return t.shape[1]
+        return 1
+
     def num_vars(self) -> int:
         if self._local_poly is not None:
             return self._local_poly.num_vars()
-        return self.tables[0].shape[1].bit_length() - 1 + self.n_shard
+        return self._main_cols().bit_length() - 1 + self.n_shard
 
     def _gather_to_local(self) -> ProductPoly:
         """Residual [2^n_shard, 1] tables -> replicated local ProductPoly."""
         spec = PolySpec(
             block_sizes=(self.n_shard,),
-            table_blocks=tuple((0,) for _ in self.tables),
-            terms=(tuple(range(len(self.tables))),),
+            table_blocks=tuple(
+                () if _is_scalar(t) else (0,) for t in self.tables
+            ),
+            terms=self.terms,
         )
         gathered = []
         for t in self.tables:
@@ -214,7 +270,7 @@ class ShardedProductPoly:
         if self._local_poly is not None:
             uni, new_local = self._local_poly.round_univariate(r_prev)
             return uni, self._copy_with(local=new_local)
-        cols = self.tables[0].shape[1]
+        cols = self._main_cols()
         if r_prev is None:
             if cols == 1:
                 # no local vars at all: run everything replicated
@@ -222,7 +278,7 @@ class ShardedProductPoly:
                 uni, new_local = local.round_univariate(None)
                 return uni, self._copy_with(local=new_local)
             fn = _sharded_round_jit(
-                False, self._degree, len(self.tables), self.field
+                False, self._degree, self.terms, self.field
             )
             sums, tables = fn(self.tables, FArray.zeros((), self.field))
             uni = interpolate_at_small_points(sums.to_felts(), self.field)
@@ -236,7 +292,7 @@ class ShardedProductPoly:
             local = new._gather_to_local()
             uni, new_local = local.round_univariate(None)
             return uni, new._copy_with(local=new_local)
-        fn = _sharded_round_jit(True, self._degree, len(self.tables), self.field)
+        fn = _sharded_round_jit(True, self._degree, self.terms, self.field)
         sums, tables = fn(self.tables, FArray.scalar(r_prev))
         uni = interpolate_at_small_points(sums.to_felts(), self.field)
         return uni, self._copy_with(tables=tables)
@@ -247,7 +303,8 @@ class ShardedProductPoly:
             self.n_local,
             self.n_shard,
             self.mesh,
-            self._degree,
+            terms=self.terms,
+            degree=self._degree,
         )
         new._local_poly = local if local is not None else self._local_poly
         return new
@@ -255,7 +312,7 @@ class ShardedProductPoly:
     def sum_evaluations(self) -> Felt:
         if self._local_poly is not None:
             return self._local_poly.sum_evaluations()
-        fn = _sharded_c1_jit(len(self.tables), self.field)
+        fn = _sharded_c1_jit(self.terms, self.field)
         return fn(self.tables).item()
 
     # the oracle path for tests: gather everything and evaluate locally
@@ -263,11 +320,13 @@ class ShardedProductPoly:
         poly = self._local_poly
         if poly is None:
             # rebuild a local ProductPoly over all remaining variables
-            n_cols = self.tables[0].shape[1].bit_length() - 1
+            n_cols = self._main_cols().bit_length() - 1
             spec = PolySpec(
                 block_sizes=(n_cols + self.n_shard,),
-                table_blocks=tuple((0,) for _ in self.tables),
-                terms=(tuple(range(len(self.tables))),),
+                table_blocks=tuple(
+                    () if _is_scalar(t) else (0,) for t in self.tables
+                ),
+                terms=self.terms,
             )
             flats = []
             for t in self.tables:
