@@ -183,9 +183,22 @@ def _mxu_modmatmul_impl(a: FArray, b: FArray) -> FArray:
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).reshape(d, m, d, n)
-        for i in range(d):
-            for j in range(d):
-                acc = acc + _weighted_lift(field, big[i, :, j, :], weights[i + j])
+        # |P_ij| <= cs * 2^14; when d * cs * 2^14 < 2^31 the digit-pair
+        # diagonals (same weight 256^(i+j)) can pre-sum in int32, cutting
+        # the modular lifts from d^2 to 2d-1
+        if d * cs * (1 << 14) < (1 << 31):
+            for s in range(2 * d - 1):
+                diag = None
+                for i in range(max(0, s - d + 1), min(d, s + 1)):
+                    term = big[i, :, s - i, :]
+                    diag = term if diag is None else diag + term
+                acc = acc + _weighted_lift(field, diag, weights[s])
+        else:
+            for i in range(d):
+                for j in range(d):
+                    acc = acc + _weighted_lift(
+                        field, big[i, :, j, :], weights[i + j]
+                    )
     if field.backend == "mont32":
         # S = sum (aR)(bR) = sum(ab) R^2 (canonical); one REDC (x*1 =
         # x R^{-1}) restores the Montgomery convention sum(ab) R
