@@ -17,7 +17,6 @@ from ..fields import Felt, FieldConfig
 from ..mle.dense import DenseMLE
 from ..sumcheck import (
     FeltRng,
-    FinalRound,
     JthRound,
     Prover as SumCheckProver,
     UniPoly,

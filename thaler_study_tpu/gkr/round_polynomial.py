@@ -16,7 +16,6 @@ to the identical coefficient-form polynomial carried on the wire).
 
 from __future__ import annotations
 
-from ..fields import FieldConfig
 from ..mle.dense import DenseMLE
 from ..ops.round_kernel import PolySpec
 from ..protocols.factor_poly import ProductPoly

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from ..fields import FArray, Felt
-from .dense import bitrev_perm  # noqa: F401  (re-exported for tests)
 
 
 def eq_weight_table(point: Sequence[Felt], *, lsb_order: bool = True) -> FArray:

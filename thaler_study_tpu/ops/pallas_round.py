@@ -24,7 +24,7 @@ path in ops/round_kernel.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import Sequence, Tuple
 
 import jax

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 from ..fields import BABYBEAR, F5, F389, F1572869, GOLDILOCKS, FieldConfig
 
