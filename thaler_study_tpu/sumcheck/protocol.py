@@ -107,17 +107,29 @@ class Verifier(Generic[P]):
     (a documented fidelity gap of the reference; see SURVEY.md #5).
     """
 
-    def __init__(self, n: int, g: Optional[P] = None):
+    def __init__(
+        self,
+        n: int,
+        g: Optional[P] = None,
+        max_degree: Optional[int] = None,
+    ):
         self.n = n
         self.c_1: Optional[Felt] = None
         self.g_part: List[UniPoly] = []
         self.r: List[Felt] = []
         self.g = g
+        # Optional strict mode: the reference never bounds deg(g_j) (its
+        # documented soundness gap); passing max_degree enforces it.
+        self.max_degree = max_degree
 
     def set_c_1(self, c_1: Felt):
         self.c_1 = c_1
 
     def round(self, g_j: UniPoly, rng: FeltRng) -> VerifierRoundResult:
+        if self.max_degree is not None and g_j.degree() > self.max_degree:
+            raise ProverClaimMismatch(
+                f"degree bound {self.max_degree}", f"degree {g_j.degree()}"
+            )
         field = g_j.field if not g_j.is_zero() else (
             self.c_1.field if self.c_1 is not None else g_j.field
         )
