@@ -117,12 +117,10 @@ def restrict_poly(
     field = b[0].field
     n = mle.num_vars
     ls = line(b, c)
-    pts = []
-    for t in range(n + 1):
-        t_f = field.felt(t)
-        point = [l.evaluate(t_f) for l in ls]
-        pts.append((t_f, mle.evaluate(point)))
-    return lagrange_interpolate(pts, field)
+    t_felts = [field.felt(t) for t in range(n + 1)]
+    points = [[l.evaluate(t_f) for l in ls] for t_f in t_felts]
+    values = mle.evaluate_many(points)  # one device program for all n+1
+    return lagrange_interpolate(list(zip(t_felts, values)), field)
 
 
 def _mle_eval(evals: List[Felt], point: Sequence[Felt], field: FieldConfig) -> Felt:

@@ -109,6 +109,24 @@ class DenseMLE:
             return self.evals.item()
         return self.fix_variables(list(point)).evals.item()
 
+    def evaluate_many(self, points: Sequence[Sequence[Felt]]) -> list:
+        """Evaluate at P points with ONE device program (batched folds).
+
+        The fold chain runs on a [P, 2^n] broadcast of the table — P times
+        the flops of one evaluation but a single dispatch + transfer, which
+        wins whenever dispatch latency matters (e.g. GKR's restrict_poly
+        needs n+1 line-point evaluations per layer)."""
+        assert all(len(pt) == self.num_vars for pt in points)
+        if self.num_vars == 0:
+            v = self.evals.item()
+            return [v for _ in points]
+        flat = [f.v for pt in points for f in pt]
+        r_arr = FArray.from_ints(
+            np.array(flat, dtype=object), self.field
+        ).reshape(len(points), self.num_vars)
+        out = _eval_many_jit(self.evals, r_arr, self.num_vars)
+        return out.to_felts()
+
     def relabel(self, a: int, b: int, k: int) -> "DenseMLE":
         """Swap variable blocks [a, a+k) and [b, b+k).
 
@@ -163,3 +181,26 @@ def _fold_impl(table: FArray, rs: FArray, k: int) -> FArray:
 
 
 _fold_jit = jax.jit(_fold_impl, static_argnums=2)
+
+
+def _eval_many_impl(table: FArray, rs: FArray, n: int) -> FArray:
+    """rs: [P, n] points -> [P] evaluations; one fused fold chain."""
+    p_count = rs.shape[0]
+    t = FArray(
+        tuple(
+            jnp.broadcast_to(l[None, :], (p_count, l.shape[0]))
+            for l in table.limbs
+        ),
+        table.field,
+    )
+    for j in range(n):
+        half = t.shape[1] // 2
+        lo, hi = t[:, :half], t[:, half:]
+        r_j = t.__class__(
+            tuple(l[:, j : j + 1] for l in rs.limbs), rs.field
+        )
+        t = lo + (hi - lo) * r_j
+    return t.reshape(p_count)
+
+
+_eval_many_jit = jax.jit(_eval_many_impl, static_argnums=2)
