@@ -10,6 +10,14 @@ over a 2^22-point hypercube — the hot loop of every protocol in the stack
 BASELINE.md 'sumcheck prover field-ops/s per chip'). The reference
 publishes no numbers (BASELINE.json "published": {}), so vs_baseline is
 reported as 1.0 by convention.
+
+Methodology: each rep uses a fresh challenge and pulls the round sums to
+host (a real sumcheck loop must: the next challenge derives from them).
+On this container's remote-execution tunnel that adds ~25 ms/call of
+latency which dominates the sub-2ms device compute; the JSON detail
+carries the raw per-round time so the dispatch share is visible.
+Pipelined (overlapped) dispatch timings are NOT used: through this
+tunnel they report physically impossible (>HBM-bandwidth) figures.
 """
 
 import json
