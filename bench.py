@@ -12,12 +12,14 @@ publishes no numbers (BASELINE.json "published": {}), so vs_baseline is
 reported as 1.0 by convention.
 
 Methodology: each rep uses a fresh challenge and pulls the round sums to
-host (a real sumcheck loop must: the next challenge derives from them).
-On this container's remote-execution tunnel that adds ~25 ms/call of
-latency which dominates the sub-2ms device compute; the JSON detail
-carries the raw per-round time so the dispatch share is visible.
-Pipelined (overlapped) dispatch timings are NOT used: through this
-tunnel they report physically impossible (>HBM-bandwidth) figures.
+host before the next dispatch — exactly the dependency structure of a
+real sumcheck loop (the next challenge derives from the sums). On this
+container the chip sits behind a remote-execution tunnel adding ~25 ms
+per synchronous call, which dominates the ~2-3 ms device compute; the
+sustained device-side round time (measured separately with periodic
+result observation, see BENCHMARKS.md) is ~2.8 ms at 2^23 points.
+Overlapped-dispatch timings are not used: through this tunnel they
+report physically impossible (>HBM-bandwidth) figures.
 """
 
 import json
@@ -66,18 +68,13 @@ def main():
         )
         for _ in range(2)
     )
-    # Honest protocol-shaped timing: a distinct challenge per rep and a
-    # host pull of the round sums each rep — exactly what a prover loop
-    # does (the next challenge derives from the sums). Async batch timing
-    # through the device tunnel can otherwise overlap or elide work.
     rs = [
         FArray.scalar(field.felt(123456789123456789 + 7919 * i))
         for i in range(REPS + 1)
     ]
-
     step = _round_step_jit(spec, True, 2, field)
     # warm-up / compile
-    sums, new_tables = step(tables, rs[REPS])
+    sums, _ = step(tables, rs[REPS])
     jax.block_until_ready(sums.limbs)
 
     t0 = time.perf_counter()
@@ -85,6 +82,7 @@ def main():
         sums, _ = step(tables, rs[i])
         np.asarray(sums.limbs[0])  # sync: observe the round sums on host
     elapsed = time.perf_counter() - t0
+    sync_round_ms = elapsed / REPS * 1e3
 
     COUNTS.reset()
     count_round(sums_spec, fold=True)
@@ -104,6 +102,7 @@ def main():
                     "field_muls_per_round": COUNTS.field_muls,
                     "field_adds_per_round": COUNTS.field_adds,
                     "round_ms": elapsed / REPS * 1e3,
+                    "sync_round_ms": sync_round_ms,
                     "reps": REPS,
                     "device": str(jax.devices()[0]),
                 },
