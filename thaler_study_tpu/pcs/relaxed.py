@@ -58,7 +58,8 @@ class Prover:
         self.poly = poly
         field = poly.field
         points = all_multidimensional_values(field, poly.num_vars)
-        values = [poly.evaluate(list(pt)) for pt in points]
+        # one batched device program for all |F|^m evaluations
+        values = poly.evaluate_many([list(pt) for pt in points])
         # pad to a power of two with zeros (ref :172-177)
         target = 1 << (len(values) - 1).bit_length()
         values = values + [field.zero()] * (target - len(values))
