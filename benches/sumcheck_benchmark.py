@@ -123,10 +123,55 @@ def bench_mle(n_vars: int):
     )
 
 
+def bench_batched(n_vars: int, batch: int):
+    """Batched FS proving: batch proofs per device program (amortizes the
+    per-round dispatch latency across statements)."""
+    from thaler_study_tpu.fields import GOLDILOCKS as F
+    from thaler_study_tpu.mle.dense import DenseMLE
+    from thaler_study_tpu.protocols import (
+        BatchedProductPoly,
+        generate_transcripts_batch,
+    )
+
+    rng = np.random.default_rng(5)
+    instances = [
+        [
+            DenseMLE.from_evals_lsb(
+                rng.integers(0, 1 << 62, 1 << n_vars), n_vars, F
+            ).evals
+            for _ in range(2)
+        ]
+        for _ in range(batch)
+    ]
+    for run in range(2):
+        t0 = time.perf_counter()
+        transcripts = generate_transcripts_batch(
+            BatchedProductPoly.stack(instances), F
+        )
+        t_prove = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "bench": "fs_sumcheck_batched",
+                "batch": batch,
+                "hypercube_points": 1 << n_vars,
+                "field": F.name,
+                "prove_s_total": round(t_prove, 4),
+                "prove_s_per_proof": round(t_prove / batch, 4),
+                "proofs": len(transcripts),
+                "device": str(jax.devices()[0]),
+            }
+        ),
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sumcheck-vars", type=int, default=16)
     ap.add_argument("--mle-vars", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=16)
     args = ap.parse_args()
     bench_sumcheck(args.sumcheck_vars)
     bench_mle(args.mle_vars)
+    bench_batched(args.sumcheck_vars, args.batch)
