@@ -77,17 +77,25 @@ def main():
     sums, _ = step(tables, rs[REPS])
     jax.block_until_ready(sums.limbs)
 
+    # adaptive rep count: the remote tunnel has degraded phases (seconds
+    # per call); probe one rep and shrink REPS so the bench always finishes
     t0 = time.perf_counter()
-    for i in range(REPS):
+    sums, _ = step(tables, rs[0])
+    np.asarray(sums.limbs[0])
+    probe_s = time.perf_counter() - t0
+    reps = REPS if probe_s < 1.0 else max(2, min(REPS, int(60 / probe_s)))
+
+    t0 = time.perf_counter()
+    for i in range(reps):
         sums, _ = step(tables, rs[i])
         np.asarray(sums.limbs[0])  # sync: observe the round sums on host
     elapsed = time.perf_counter() - t0
-    sync_round_ms = elapsed / REPS * 1e3
+    sync_round_ms = elapsed / reps * 1e3
 
     COUNTS.reset()
     count_round(sums_spec, fold=True)
     ops_per_round = COUNTS.field_muls + COUNTS.field_adds
-    ops_per_sec = ops_per_round * REPS / elapsed
+    ops_per_sec = ops_per_round * reps / elapsed
 
     print(
         json.dumps(
@@ -101,9 +109,9 @@ def main():
                     "hypercube_points": 1 << (n + 1),
                     "field_muls_per_round": COUNTS.field_muls,
                     "field_adds_per_round": COUNTS.field_adds,
-                    "round_ms": elapsed / REPS * 1e3,
+                    "round_ms": elapsed / reps * 1e3,
                     "sync_round_ms": sync_round_ms,
-                    "reps": REPS,
+                    "reps": reps,
                     "device": str(jax.devices()[0]),
                 },
             }
