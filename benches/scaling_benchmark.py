@@ -1,0 +1,115 @@
+"""Scaling-efficiency harness: sharded sumcheck prover across mesh sizes.
+
+BASELINE north-star: >=80% scaling efficiency from 1 to 4 hosts. Real
+multi-host ICI is not reachable from this container (one chip behind a
+tunnel), so by default this harness runs on the virtual CPU mesh
+(xla_force_host_platform_device_count) to exercise the sharded code path
+and the harness itself; on a real pod slice the same script measures true
+scaling (run one process per host with jax.distributed initialized).
+
+For each mesh size D in --devices: shard a 2-factor product over D
+devices, run the full FS prover twice (second run warm), report wall time
+and efficiency vs the single-device run.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vars", type=int, default=18)
+    ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument(
+        "--virtual-cpu",
+        action="store_true",
+        default=os.environ.get("SCALING_REAL") != "1",
+        help="force a virtual CPU mesh (default unless SCALING_REAL=1)",
+    )
+    args = ap.parse_args()
+
+    if args.virtual_cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={max(args.devices)}"
+        ).strip()
+
+    import jax
+
+    if args.virtual_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from thaler_study_tpu.fields import GOLDILOCKS as F
+    from thaler_study_tpu.fiat_shamir import (
+        SumcheckInteractiveProver,
+        generate_transcript,
+    )
+    from thaler_study_tpu.mle.dense import DenseMLE
+    from thaler_study_tpu.ops.round_kernel import PolySpec
+    from thaler_study_tpu.parallel import ShardedProductPoly, make_mesh
+    from thaler_study_tpu.protocols import ProductPoly
+    from thaler_study_tpu.sumcheck import Prover
+
+    n = args.vars
+    rng = np.random.default_rng(0)
+    tables = [
+        DenseMLE.from_evals_lsb(
+            rng.integers(0, 1 << 62, 1 << n), n, F
+        ).evals
+        for _ in range(2)
+    ]
+    spec = PolySpec(
+        block_sizes=(n,), table_blocks=((0,), (0,)), terms=((0, 1),)
+    )
+
+    base_time = None
+    base_bytes = None
+    for d in args.devices:
+        devices = jax.devices()[:d]
+        if len(devices) < d:
+            print(json.dumps({"devices": d, "skipped": "not enough devices"}))
+            continue
+        for run in range(2):
+            if d == 1:
+                poly = ProductPoly(spec, tables)
+            else:
+                mesh = make_mesh(devices)
+                poly = ShardedProductPoly.from_internal_tables(
+                    tables, mesh, n_shard=(d - 1).bit_length()
+                )
+            t0 = time.perf_counter()
+            transcript = generate_transcript(
+                SumcheckInteractiveProver(Prover(poly)), F
+            )
+            elapsed = time.perf_counter() - t0
+        blob = transcript.to_bytes()
+        if base_time is None:
+            base_time = elapsed
+            base_bytes = blob
+        assert blob == base_bytes, "sharded transcript diverged"
+        eff = base_time / (elapsed * 1) if elapsed else 0.0
+        print(
+            json.dumps(
+                {
+                    "bench": "sharded_sumcheck_scaling",
+                    "devices": d,
+                    "hypercube_points": 1 << n,
+                    "prove_s_warm": round(elapsed, 4),
+                    "speedup_vs_1dev": round(base_time / elapsed, 3),
+                    "transcript_identical": True,
+                    "platform": str(jax.devices()[0].platform),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
