@@ -62,22 +62,29 @@ def test_len_per_elem():
 
 
 def test_serialization_layout():
-    """Exact arkworks byte layout: Vec len prefix + (u64 degree, 8-byte LE
-    coeff) pairs."""
+    """Exact arkworks byte layout: Vec u64-LE len prefix + per-term (u64-LE
+    degree, ceil(bits(p)/8)-byte LE coeff) pairs. Field elements are NOT limb
+    width: ark-ff Fp::serialize_with_flags writes
+    buffer_byte_size(MODULUS_BIT_SIZE) bytes (F5 -> 1, F389 -> 2,
+    Goldilocks -> 8)."""
     p = UniPoly([(0, F5.felt(3)), (2, F5.felt(1))], F5)
     data = serialize_unipoly(p)
     assert data == (
         (2).to_bytes(8, "little")
         + (0).to_bytes(8, "little")
-        + (3).to_bytes(8, "little")
+        + (3).to_bytes(1, "little")
         + (2).to_bytes(8, "little")
-        + (1).to_bytes(8, "little")
+        + (1).to_bytes(1, "little")
     )
     msg = serialize_c1_and_poly(F5.felt(4), p)
-    assert msg == (4).to_bytes(8, "little") + data
+    assert msg == (4).to_bytes(1, "little") + data
     # zero coefficients are dropped before serialization
     q = UniPoly([(1, F5.felt(0)), (3, F5.felt(2))], F5)
     assert serialize_unipoly(q)[:8] == (1).to_bytes(8, "little")
+    # per-field widths
+    assert F5.byte_size == 1
+    assert F389.byte_size == 2
+    assert GOLDILOCKS.byte_size == 8
 
 
 def _rand_poly(l, d, field, rng):

@@ -107,10 +107,14 @@ def test_goldilocks_known_values():
 
 
 def test_serialization_le_bytes():
-    # arkworks Fp64 uncompressed = 8 bytes little-endian of the canonical value
+    # arkworks Fp serializes ceil(MODULUS_BIT_SIZE/8) bytes little-endian of
+    # the canonical value (ark-ff serialize_with_flags) — 3 bytes for the
+    # 21-bit modulus 1572869, 8 bytes for Goldilocks.
     f = F1572869.felt(1234567)
-    assert f.to_bytes_le() == (1234567).to_bytes(8, "little")
+    assert f.to_bytes_le() == (1234567).to_bytes(3, "little")
     assert Felt.from_bytes_le(f.to_bytes_le(), F1572869) == f
+    g = GOLDILOCKS.felt(1234567)
+    assert g.to_bytes_le() == (1234567).to_bytes(8, "little")
 
 
 def test_fuzz_mul_randomized():

@@ -1,0 +1,141 @@
+"""Fused on-device Fiat-Shamir prover: byte-identity vs the host loop,
+device hash-to-field exactness, and the zero-coefficient fallback."""
+
+import random
+
+import numpy as np
+import pytest
+
+from thaler_study_tpu.fields import FArray, GOLDILOCKS, F389
+from thaler_study_tpu.fiat_shamir import (
+    DefaultFieldHasher,
+    SumcheckInteractiveProver,
+    SumcheckInteractiveVerifier,
+    generate_transcript,
+    generate_transcript_device,
+    verify_transcript,
+)
+from thaler_study_tpu.ops.fs_kernel import (
+    _hash_to_field_gl,
+    _interp_matrix,
+    fs_prove_device,
+)
+from thaler_study_tpu.ops.round_kernel import PolySpec
+from thaler_study_tpu.protocols import MatMulG
+from thaler_study_tpu.protocols.factor_poly import ProductPoly
+from thaler_study_tpu.sumcheck import Prover, Verifier
+
+
+def test_device_hash_to_field_matches_host(rng):
+    """The on-device expand_message_xmd + BE reduction equals the host
+    DefaultFieldHasher for goldilocks across message lengths."""
+    import jax
+    import jax.numpy as jnp
+
+    hasher = DefaultFieldHasher(GOLDILOCKS)
+    fn = jax.jit(_hash_to_field_gl)
+    for ln in (1, 17, 63, 64, 65, 200):
+        msg = bytes(rng.randrange(256) for _ in range(ln))
+        lo, hi = fn(jnp.asarray(np.frombuffer(msg, dtype=np.uint8)))
+        got = int(lo) | (int(hi) << 32)
+        want = hasher.hash_to_field(msg, 1)[0].v
+        assert got == want, f"len={ln}"
+
+
+def test_interp_matrix_exact():
+    p = GOLDILOCKS.p
+    for d in (1, 2, 3):
+        m = _interp_matrix(d, p)
+        # coeffs of f(t) = t^d: values at 0..d -> unit vector at degree d
+        vals = [pow(t, d, p) for t in range(d + 1)]
+        coeffs = [
+            sum(m[i][t] * vals[t] for t in range(d + 1)) % p
+            for i in range(d + 1)
+        ]
+        assert coeffs == [0] * d + [1]
+
+
+@pytest.mark.parametrize("n,k", [(3, 2), (5, 2), (4, 3), (6, 1)])
+def test_fused_transcript_byte_identical(n, k, rng):
+    """One-dispatch proof == per-round host loop, byte for byte, across
+    hypercube sizes and factor counts (degrees 1..3)."""
+    field = GOLDILOCKS
+    spec = PolySpec(
+        block_sizes=(n,),
+        table_blocks=tuple((0,) for _ in range(k)),
+        terms=(tuple(range(k)),),
+    )
+    tables = tuple(
+        FArray.from_ints(
+            np.array(
+                [rng.randrange(field.p) for _ in range(1 << n)], dtype=object
+            ),
+            field,
+        )
+        for _ in range(k)
+    )
+    poly = ProductPoly(spec, tables)
+    host = generate_transcript(
+        SumcheckInteractiveProver(Prover(ProductPoly(spec, tables))), field
+    )
+    fused = generate_transcript_device(poly, field)
+    assert [m.hex() for m in fused.g] == [m.hex() for m in host.g]
+    # and it verifies
+    verifier = SumcheckInteractiveVerifier(
+        Verifier(n, ProductPoly(spec, tables)), field
+    )
+    assert verify_transcript(fused, verifier, field)
+
+
+def test_fused_matmul_transcript(rng):
+    field = GOLDILOCKS
+    n = 3
+    size = 1 << n
+    a = [rng.randrange(field.p) for _ in range(size * size)]
+    b = [rng.randrange(field.p) for _ in range(size * size)]
+    point = [field.felt(rng.randrange(field.p)) for _ in range(2 * n)]
+    g = MatMulG.new(n, a, b, point, field)
+    host = generate_transcript(
+        SumcheckInteractiveProver(Prover(MatMulG.new(n, a, b, point, field))),
+        field,
+    )
+    fused = generate_transcript_device(g, field)
+    assert fused.to_bytes() == host.to_bytes()
+
+
+def test_zero_coefficient_fallback():
+    """An all-zeros table forces zero coefficients: the device kernel must
+    flag it and the wrapper must fall back to the exact host loop."""
+    field = GOLDILOCKS
+    n = 3
+    spec = PolySpec(block_sizes=(n,), table_blocks=((0,), (0,)), terms=((0, 1),))
+    tables = (
+        FArray.from_ints(np.zeros(1 << n, dtype=object), field),
+        FArray.from_ints(np.arange(1 << n, dtype=object), field),
+    )
+    assert fs_prove_device(spec, tables) is None  # flagged on device
+    poly = ProductPoly(spec, tables)
+    host = generate_transcript(
+        SumcheckInteractiveProver(Prover(ProductPoly(spec, tables))), field
+    )
+    fused = generate_transcript_device(poly, field)
+    assert fused.to_bytes() == host.to_bytes()
+
+
+def test_unsupported_field_falls_back(rng):
+    """mont32 fields take the host loop transparently."""
+    field = F389
+    n = 3
+    spec = PolySpec(block_sizes=(n,), table_blocks=((0,), (0,)), terms=((0, 1),))
+    tables = tuple(
+        FArray.from_ints(
+            np.array([rng.randrange(field.p) for _ in range(1 << n)], dtype=object),
+            field,
+        )
+        for _ in range(2)
+    )
+    host = generate_transcript(
+        SumcheckInteractiveProver(Prover(ProductPoly(spec, tables))), field
+    )
+    fused = generate_transcript_device(ProductPoly(spec, tables), field)
+    assert fused.to_bytes() == host.to_bytes()

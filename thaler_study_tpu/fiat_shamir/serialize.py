@@ -1,14 +1,25 @@
 """arkworks-compatible canonical serialization (uncompressed).
 
 Byte-level clone of what the reference's Fiat-Shamir transform writes into
-transcripts (fiat-shamir/src/lib.rs:44-66):
+transcripts (fiat-shamir/src/lib.rs:44-66). Pinned assumptions (arkworks 0.6,
+the version the reference's workspace deps select — /root/reference/Cargo.toml):
 
-- ``Fp64`` element: canonical integer, 8 bytes little-endian (one 64-bit limb).
-- ``univariate::SparsePolynomial<F>`` (= ``Vec<(usize, F)>`` of (degree,
-  coeff), sorted, zero coeffs dropped): u64-LE length prefix, then per term
-  a u64-LE degree and the 8-byte coefficient.
-- tuple ``(F, SparsePolynomial<F>)``: concatenation.
+- ``Fp`` element: ark-ff ``Fp::serialize_with_flags`` writes the canonical
+  (non-Montgomery) integer little-endian, truncated to
+  ``buffer_byte_size(MODULUS_BIT_SIZE + Flags::BIT_SIZE)`` bytes;
+  ``CanonicalSerialize`` passes ``EmptyFlags`` (BIT_SIZE = 0), so the width
+  is **ceil(bits(p)/8)** — 1 byte for F5, 2 for F389, 3 for F1572869, 8 for
+  Goldilocks. Deserialization rejects values >= p (``Fp::from_bigint``).
+- ``univariate::SparsePolynomial<F>`` (derived CanonicalSerialize on
+  ``struct { coeffs: Vec<(usize, F)> }``): u64-LE length prefix (Vec), then
+  per term a u64-LE degree (ark-serialize writes usize as u64 LE) and the
+  coefficient bytes. Terms sorted by degree, zero coefficients dropped
+  (``SparsePolynomial::from_coefficients`` invariant).
+- tuple ``(F, SparsePolynomial<F>)``: element-wise concatenation, no prefix.
 
+These assumptions are anchored *externally* by tests/data/fs_golden.json:
+vectors derived by tests/data/derive_fs_golden.py using only hashlib and
+Python integers (no framework imports) — see tests/test_fs_golden.py.
 Bit-exact transcripts vs the Rust reference hinge on these layouts plus the
 hash-to-field in ``hash_to_field.py`` (SURVEY.md section 3.2: the FS path is
 the deterministic bit-exactness anchor).

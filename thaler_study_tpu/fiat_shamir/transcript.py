@@ -146,6 +146,34 @@ def generate_transcript(
     return FiatShamirTranscript(g)
 
 
+def generate_transcript_device(
+    poly, field: FieldConfig, dst: bytes = b""
+) -> FiatShamirTranscript:
+    """Non-interactive prover run with the whole proof fused into ONE device
+    dispatch (ops/fs_kernel.py): fold + round sums + serialization + SHA-256
+    challenge chain all on device; byte-identical to
+    :func:`generate_transcript`.
+
+    ``poly`` is the SumCheckPolynomial (device-backed ProductPoly for the
+    fused path). Falls back to the per-round host loop whenever the fused
+    kernel does not support the (spec, field, dst) combination or a zero
+    round-polynomial coefficient makes message lengths value-dependent
+    (see ops/fs_kernel.py docstring).
+    """
+    from ..ops.fs_kernel import fs_prove_device
+    from ..sumcheck import Prover
+
+    spec = getattr(poly, "spec", None)
+    tables = getattr(poly, "tables", None)
+    if spec is not None and tables is not None:
+        msgs = fs_prove_device(spec, tables, dst)
+        if msgs is not None:
+            return FiatShamirTranscript(msgs)
+    return generate_transcript(
+        SumcheckInteractiveProver(Prover(poly)), field, dst
+    )
+
+
 def resume_transcript(
     prover,
     field: FieldConfig,

@@ -62,13 +62,18 @@ class FieldConfig:
 
     @property
     def byte_size(self) -> int:
-        """Serialized size of one canonical element.
+        """Serialized size of one canonical element: ceil(MODULUS_BIT_SIZE/8).
 
-        arkworks ``Fp64`` serializes as 8 bytes little-endian regardless of the
-        modulus (one 64-bit limb, CanonicalSerialize uncompressed). Any modulus
-        that fits 64 bits serializes to 8 bytes.
+        ark-ff's ``Fp::serialize_with_flags`` (arkworks 0.6, the version the
+        reference pins — /root/reference/Cargo.toml workspace deps) writes
+        ``buffer_byte_size(MODULUS_BIT_SIZE + Flags::BIT_SIZE)`` bytes of the
+        little-endian canonical integer; ``CanonicalSerialize`` uses
+        ``EmptyFlags`` (BIT_SIZE = 0), so the width is ceil(bits(p)/8) — NOT
+        the limb width. F5 -> 1 byte, F389 -> 2, F1572869 -> 3,
+        Goldilocks -> 8. Transcript bit-exactness vs the Rust reference
+        (fiat-shamir/src/lib.rs:48-58) depends on this width.
         """
-        return 8
+        return (self.bit_size + 7) // 8
 
     # Montgomery constants for mont32
     @property

@@ -24,8 +24,22 @@ from .protocol import (
     restrict_poly,
 )
 from .round_polynomial import W
+from .transcript import (
+    GKRTranscript,
+    deserialize_gkr_message,
+    generate_gkr_transcript,
+    resume_gkr_transcript,
+    serialize_gkr_message,
+    verify_gkr_transcript,
+)
 
 __all__ = [
+    "GKRTranscript",
+    "generate_gkr_transcript",
+    "verify_gkr_transcript",
+    "resume_gkr_transcript",
+    "serialize_gkr_message",
+    "deserialize_gkr_message",
     "Circuit",
     "CircuitLayer",
     "CircuitEvaluation",

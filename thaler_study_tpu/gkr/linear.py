@@ -178,3 +178,21 @@ class LibraW:
             return uni, self
         uni, self._inner = self._inner.round_univariate(r_prev)
         return uni, self
+
+    def advance(self, r_prev: Optional[Felt]) -> "LibraW":
+        """``round_univariate``'s state transition without the round sums —
+        the checkpoint-resume fast-forward (folds + phase switch only)."""
+        j = self.j
+        self.j += 1
+        if j == 0:
+            assert r_prev is None
+            return self
+        if j < self.k:
+            self.u.append(r_prev)
+            self._inner = self._inner.fix_variables([r_prev])
+            return self
+        if j == self.k:
+            self._enter_phase2(r_prev)
+            return self
+        self._inner = self._inner.fix_variables([r_prev])
+        return self

@@ -25,7 +25,7 @@ path in ops/round_kernel.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -246,9 +246,12 @@ def _build_call(field: FieldConfig, k: int, degree: int, n_points: int):
     return jax.jit(run)
 
 
-def supports(spec, field: FieldConfig, n_points: int) -> bool:
+def supports(
+    spec, field: FieldConfig, n_points: int, min_vars: Optional[int] = None
+) -> bool:
     """Can the pallas path run this round? (single-block pure product,
-    large enough, divisible tiling, on TPU)."""
+    large enough, divisible tiling, on TPU). ``min_vars`` defaults to the
+    module MIN_VARS; callers plumb FrameworkConfig.pallas_min_vars here."""
     if not HAVE_PALLAS:
         return False
     if len(spec.block_sizes) != 1 or len(spec.terms) != 1:
@@ -257,7 +260,7 @@ def supports(spec, field: FieldConfig, n_points: int) -> bool:
         return False
     if any(tb != (0,) for tb in spec.table_blocks):
         return False
-    if n_points < (1 << MIN_VARS):
+    if n_points < (1 << (MIN_VARS if min_vars is None else min_vars)):
         return False
     if INTERPRET:
         return True

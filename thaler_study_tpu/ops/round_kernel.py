@@ -272,7 +272,7 @@ def round_step(
     happens first and ``new_tables`` reflect it (spec then advances via
     ``spec.after_fold()`` on the host side).
     """
-    import os
+    from ..utils.config import get_config
 
     field = tables[0].field
     default_degree = (spec.after_fold() if r_prev is not None else spec).degree()
@@ -280,16 +280,15 @@ def round_step(
         degree = default_degree
     # The Pallas kernel is bit-exact vs this XLA path (validated on real
     # TPU) but currently ~0.8x its speed — XLA fuses the limb chains well
-    # and both are VPU-bound. Opt-in via THALER_PALLAS=1 until the
-    # MXU-based round-sum path lands.
-    if (
-        r_prev is not None
-        and degree == default_degree
-        and os.environ.get("THALER_PALLAS")
-    ):
+    # and both are VPU-bound. Opt-in via FrameworkConfig.use_pallas
+    # (THALER_PALLAS=1 feeds the default config via from_env).
+    cfg = get_config()
+    if r_prev is not None and degree == default_degree and cfg.use_pallas:
         from . import pallas_round
 
-        if pallas_round.supports(spec, field, tables[0].shape[0]):
+        if pallas_round.supports(
+            spec, field, tables[0].shape[0], min_vars=cfg.pallas_min_vars
+        ):
             return pallas_round.pallas_round_step(spec, tables, r_prev)
     fn = _round_step_jit(spec, r_prev is not None, degree, field)
     if r_prev is None:

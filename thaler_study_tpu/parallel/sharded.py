@@ -218,8 +218,15 @@ class ShardedProductPoly:
         terms: Optional[Tuple[Tuple[int, ...], ...]] = None,
     ) -> "ShardedProductPoly":
         """Shard 1-D internal-order tables; length-1 tables are treated as
-        scalar (blockless) factors and stay replicated."""
+        scalar (blockless) factors and stay replicated.
+
+        ``n_shard`` default: ``FrameworkConfig.shard_vars`` from the active
+        config if set, else log2 of the mesh size (capped at n-1)."""
+        from ..utils.config import get_config
+
         n = max(t.shape[0] for t in tables).bit_length() - 1
+        if n_shard is None:
+            n_shard = get_config().shard_vars
         if n_shard is None:
             n_shard = min(
                 (mesh.devices.size - 1).bit_length(), max(n - 1, 0)
@@ -296,6 +303,24 @@ class ShardedProductPoly:
         sums, tables = fn(self.tables, FArray.scalar(r_prev))
         uni = interpolate_at_small_points(sums.to_felts(), self.field)
         return uni, self._copy_with(tables=tables)
+
+    def fix_variables(self, partial_point: Sequence[Felt]) -> "ShardedProductPoly":
+        """Fold-only state transition (no round sums) — mirrors exactly the
+        folds ``round_univariate`` would apply, including the gather to a
+        replicated local poly when the last local column pair is consumed.
+        Used by checkpoint-resume fast-forwarding (Prover.advance)."""
+        new = self
+        for r in partial_point:
+            if new._local_poly is not None:
+                new = new._copy_with(local=new._local_poly.fix_variables([r]))
+                continue
+            cols = new._main_cols()
+            fn = _fold2d_jit(len(new.tables), new.field)
+            tables = fn(new.tables, FArray.scalar(r))
+            new = new._copy_with(tables=tables)
+            if cols == 2:
+                new = new._copy_with(local=new._gather_to_local())
+        return new
 
     def _copy_with(self, tables=None, local=None) -> "ShardedProductPoly":
         new = ShardedProductPoly(

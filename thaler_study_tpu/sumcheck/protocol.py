@@ -95,6 +95,24 @@ class Prover(Generic[P]):
             return g_j
         return self.g.to_univariate()
 
+    def advance(self, r_prev: Optional[Felt]) -> None:
+        """Apply ``round``'s state transition without computing the round
+        polynomial — the cheap fast-forward used when resuming from a
+        checkpointed transcript (the challenge stream is re-derivable, so
+        only the folds need replaying; SURVEY.md section 5).
+
+        ``r_prev=None`` replays round 0 (which folds nothing but may bump
+        stateful polynomials like gkr.linear.LibraW)."""
+        if r_prev is None:
+            if hasattr(self.g, "advance"):
+                self.g = self.g.advance(None)
+            return
+        self.r.append(r_prev)
+        if hasattr(self.g, "advance"):
+            self.g = self.g.advance(r_prev)
+        else:
+            self.g = self.g.fix_variables([r_prev])
+
 
 class Verifier(Generic[P]):
     """Sumcheck verifier (ref :227-331).

@@ -1,6 +1,12 @@
 """Profiling, instrumentation, and configuration utilities."""
 
-from .config import DEFAULT, FrameworkConfig
+from .config import (
+    DEFAULT,
+    FrameworkConfig,
+    get_config,
+    set_config,
+    use_config,
+)
 from .counters import COUNTS, count_round
 from .profiling import RoundTimer, device_trace
 
@@ -11,4 +17,7 @@ __all__ = [
     "DEFAULT",
     "RoundTimer",
     "device_trace",
+    "get_config",
+    "set_config",
+    "use_config",
 ]

@@ -75,3 +75,44 @@ class FrameworkConfig:
 
 
 DEFAULT = FrameworkConfig()
+
+# ---------------------------------------------------------------------------
+# Active config: the single source of truth the kernels consult.
+# Initialized from the environment once at import; changed explicitly via
+# set_config()/use_config(). Kernels must NOT read THALER_* directly.
+# ---------------------------------------------------------------------------
+
+_active: FrameworkConfig = FrameworkConfig.from_env()
+
+
+def get_config() -> FrameworkConfig:
+    """The currently active framework configuration."""
+    return _active
+
+
+def set_config(cfg: FrameworkConfig) -> FrameworkConfig:
+    """Install ``cfg`` as the active configuration; returns the previous one."""
+    global _active
+    prev = _active
+    _active = cfg
+    return prev
+
+
+class use_config:
+    """Context manager scoping an active-config override.
+
+    >>> with use_config(FrameworkConfig(use_pallas=True)):
+    ...     ...  # round kernels take the Pallas path here
+    """
+
+    def __init__(self, cfg: FrameworkConfig):
+        self.cfg = cfg
+        self._prev: Optional[FrameworkConfig] = None
+
+    def __enter__(self) -> FrameworkConfig:
+        self._prev = set_config(self.cfg)
+        return self.cfg
+
+    def __exit__(self, *exc) -> None:
+        assert self._prev is not None
+        set_config(self._prev)
