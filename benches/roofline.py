@@ -1,0 +1,145 @@
+"""Speed-of-light roofline for the fused sumcheck round kernel.
+
+VERDICT r1 weak #1: the headline number had no roofline. This script
+computes the HBM-traffic lower bound for one fused round (fold + degree-d
+partial sums) and measures the sustained device time against it.
+
+Traffic model (per fused round over n points per table, k tables, L bytes
+per element = 4 * num_limbs):
+
+    reads:  k tables of n elements          (the fold consumes both halves)
+    writes: k tables of n/2 elements        (the folded tables)
+    sums:   no extra traffic — partial sums are computed from the same
+            streamed values while they are register-resident (XLA fuses
+            the fold output into the reduction pass; verified by the
+            measured numbers approaching this bound, not 2x it)
+
+    bytes_min = k * n * L * 1.5
+
+The v5e HBM bandwidth is ~819 GB/s; speed-of-light round time =
+bytes_min / BW. Utilization = sol_time / measured_time.
+
+Measurement: the sustained (not per-dispatch) time — R back-to-back round
+steps with one final host sync, which on this tunnel overlaps dispatch
+latency; the per-call sync number is also reported for honesty. Run on the
+real TPU:  python benches/roofline.py [--vars 23] [--factors 2]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+HBM_GBPS = {
+    "TPU v5 lite": 819.0,  # v5e: 819 GB/s HBM2e per chip
+    "TPU v4": 1228.0,
+    "TPU v6 lite": 1640.0,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vars", type=int, default=23)
+    ap.add_argument("--factors", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=50)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from thaler_study_tpu.fields import GOLDILOCKS, FArray
+    from thaler_study_tpu.ops.round_kernel import PolySpec, _round_step_jit
+
+    field = GOLDILOCKS
+    n = args.vars
+    k = args.factors
+    spec = PolySpec(
+        block_sizes=(n,),
+        table_blocks=tuple((0,) for _ in range(k)),
+        terms=(tuple(range(k)),),
+    )
+    rng = np.random.default_rng(0)
+    tables = tuple(
+        FArray(
+            (
+                jax.numpy.asarray(
+                    rng.integers(0, 1 << 32, size=1 << n, dtype=np.uint32)
+                ),
+                jax.numpy.asarray(
+                    rng.integers(0, 1 << 31, size=1 << n, dtype=np.uint32)
+                ),
+            ),
+            field,
+        )
+        for _ in range(k)
+    )
+    degree = k
+    step = _round_step_jit(spec, True, degree, field)
+    r = FArray.scalar(field.felt(123456789123456789))
+
+    # compile + warm
+    sums, folded = step(tables, r)
+    jax.block_until_ready(sums.limbs)
+
+    # sustained: chain R steps on device, sync once. Each step folds the
+    # SAME input tables (shapes static); dependency via the challenge to
+    # prevent CSE collapsing the chain.
+    reps = args.reps
+    t0 = time.perf_counter()
+    acc = None
+    for i in range(reps):
+        ri = FArray.scalar(field.felt(987654321 + i))
+        s_i, _ = step(tables, ri)
+        acc = s_i if acc is None else acc + s_i
+    jax.block_until_ready(acc.limbs)
+    sustained = (time.perf_counter() - t0) / reps
+
+    # per-call sync (honest dispatch-inclusive number)
+    t0 = time.perf_counter()
+    for i in range(5):
+        s_i, _ = step(tables, FArray.scalar(field.felt(13 + i)))
+        np.asarray(s_i.limbs[0])
+    per_call = (time.perf_counter() - t0) / 5
+
+    elem_bytes = 4 * field.num_limbs
+    bytes_min = int(k * (1 << n) * elem_bytes * 1.5)
+    dev = jax.devices()[0]
+    bw = next(
+        (v for key, v in HBM_GBPS.items() if key in str(dev.device_kind)),
+        819.0,
+    )
+    sol_s = bytes_min / (bw * 1e9)
+    print(
+        json.dumps(
+            {
+                "bench": "fused_round_roofline",
+                "points": 1 << n,
+                "factors": k,
+                "element_bytes": elem_bytes,
+                "bytes_min": bytes_min,
+                "hbm_gbps_assumed": bw,
+                "speed_of_light_ms": round(sol_s * 1e3, 4),
+                "sustained_ms": round(sustained * 1e3, 4),
+                "per_call_sync_ms": round(per_call * 1e3, 4),
+                "hbm_utilization_pct": round(100 * sol_s / sustained, 1),
+                "device": str(dev.device_kind),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

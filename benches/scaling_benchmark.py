@@ -31,6 +31,11 @@ def main():
         default=os.environ.get("SCALING_REAL") != "1",
         help="force a virtual CPU mesh (default unless SCALING_REAL=1)",
     )
+    ap.add_argument(
+        "--mesh-2d",
+        action="store_true",
+        help="sweep 2-D (dcn x ici) mesh shapes instead of 1-D sizes",
+    )
     args = ap.parse_args()
 
     if args.virtual_cpu:
@@ -71,6 +76,48 @@ def main():
 
     base_time = None
     base_bytes = None
+    # 2-D (dcn x ici) mesh shapes: emulate host boundaries on the virtual
+    # mesh — every shape must yield identical bytes (and on a real pod,
+    # the dcn axis rides the inter-host network)
+    if args.mesh_2d:
+        from thaler_study_tpu.parallel import ShardedBlockPoly, make_mesh_2d
+
+        total = max(args.devices)
+        local_t = time.perf_counter()
+        t_ref = generate_transcript(
+            SumcheckInteractiveProver(Prover(ProductPoly(spec, tables))), F
+        )
+        local_s = time.perf_counter() - local_t
+        ref_bytes = t_ref.to_bytes()
+        dcn = 1
+        while dcn <= total:
+            for run in range(2):
+                mesh = make_mesh_2d(jax.devices()[:total], dcn_size=dcn)
+                poly = ShardedBlockPoly.from_internal_tables(
+                    spec, tables, mesh, n_shard=(total - 1).bit_length()
+                )
+                t0 = time.perf_counter()
+                transcript = generate_transcript(
+                    SumcheckInteractiveProver(Prover(poly)), F
+                )
+                elapsed = time.perf_counter() - t0
+            assert transcript.to_bytes() == ref_bytes, "2-D mesh diverged"
+            print(
+                json.dumps(
+                    {
+                        "bench": "sharded_sumcheck_scaling_2d",
+                        "mesh": f"{dcn}x{total // dcn}",
+                        "hypercube_points": 1 << n,
+                        "prove_s_warm": round(elapsed, 4),
+                        "speedup_vs_local": round(local_s / elapsed, 3),
+                        "transcript_identical": True,
+                    }
+                ),
+                flush=True,
+            )
+            dcn *= 2
+        return
+
     for d in args.devices:
         devices = jax.devices()[:d]
         if len(devices) < d:

@@ -99,9 +99,10 @@ def _rand_poly(l, d, field, rng):
 
 def test_it_works_generic():
     """Reference it_works (fiat-shamir/src/lib.rs:219-235): n in 2..10
-    random polys over F5, transcript generates and verifies."""
+    random polys over F5, transcript generates and verifies — full
+    reference range."""
     rng = random.Random(0)
-    for n in range(2, 7):
+    for n in range(2, 10):
         g = _rand_poly(n, 3, F5, rng)
         prover = SumcheckInteractiveProver(Prover(g))
         verifier = SumcheckInteractiveVerifier(Verifier(n, g), F5)

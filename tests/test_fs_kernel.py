@@ -122,14 +122,21 @@ def test_zero_coefficient_fallback():
     assert fused.to_bytes() == host.to_bytes()
 
 
-def test_unsupported_field_falls_back(rng):
-    """mont32 fields take the host loop transparently."""
-    field = F389
-    n = 3
+@pytest.mark.parametrize("fname", ["F389", "F5", "F1572869"])
+def test_mont32_fused_byte_identical(fname, rng):
+    """mont32 fields run the fused device path too (Horner hash-to-field
+    reduction + ceil(bits/8)-byte serialization), byte-identical to host."""
+    from thaler_study_tpu.fields import F5, F1572869
+
+    field = {"F389": F389, "F5": F5, "F1572869": F1572869}[fname]
+    n = 4
     spec = PolySpec(block_sizes=(n,), table_blocks=((0,), (0,)), terms=((0, 1),))
     tables = tuple(
         FArray.from_ints(
-            np.array([rng.randrange(field.p) for _ in range(1 << n)], dtype=object),
+            np.array(
+                [rng.randrange(1, field.p) for _ in range(1 << n)],
+                dtype=object,
+            ),
             field,
         )
         for _ in range(2)
@@ -139,3 +146,57 @@ def test_unsupported_field_falls_back(rng):
     )
     fused = generate_transcript_device(ProductPoly(spec, tables), field)
     assert fused.to_bytes() == host.to_bytes()
+    if field is not F5:  # F5's tiny modulus makes zero coeffs likely
+        assert fs_prove_device(spec, tables) is not None
+
+
+def test_batched_fused_transcripts_byte_identical(rng):
+    """vmapped whole-proof kernel: B proofs in one dispatch == per-instance
+    host transcripts, byte for byte; and the batched API takes this path."""
+    import jax.numpy as jnp
+
+    from thaler_study_tpu.ops.fs_kernel import fs_prove_device_batch
+    from thaler_study_tpu.protocols import (
+        BatchedProductPoly,
+        generate_transcripts_batch,
+    )
+
+    field = GOLDILOCKS
+    n, k, B = 4, 2, 3
+    spec = PolySpec(
+        block_sizes=(n,),
+        table_blocks=tuple((0,) for _ in range(k)),
+        terms=(tuple(range(k)),),
+    )
+    instances = []
+    for _ in range(B):
+        instances.append(
+            [
+                FArray.from_ints(
+                    np.array(
+                        [rng.randrange(field.p) for _ in range(1 << n)],
+                        dtype=object,
+                    ),
+                    field,
+                )
+                for _ in range(k)
+            ]
+        )
+    batched = BatchedProductPoly.stack(instances)
+    out = fs_prove_device_batch(spec, batched.tables)
+    assert out is not None and len(out) == B
+    for b in range(B):
+        host = generate_transcript(
+            SumcheckInteractiveProver(
+                Prover(ProductPoly(spec, instances[b]))
+            ),
+            field,
+        )
+        assert [m.hex() for m in out[b]] == [m.hex() for m in host.g]
+    # the public batched API returns the same transcripts
+    ts = generate_transcripts_batch(BatchedProductPoly.stack(instances), field)
+    for b in range(B):
+        assert ts[b].to_bytes() == generate_transcript(
+            SumcheckInteractiveProver(Prover(ProductPoly(spec, instances[b]))),
+            field,
+        ).to_bytes()

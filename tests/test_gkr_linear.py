@@ -135,3 +135,60 @@ def test_sharded_gkr_matches_local():
     local = drive(None)
     sharded = drive(make_mesh())
     assert local == sharded
+
+
+def test_device_tables_transcript_identical_to_host(rng):
+    """The device-side bookkeeping (segment_sum scatters, device eq tables,
+    device forward pass — gkr/device_tables.py) must produce byte-identical
+    GKR transcripts to the host C++ runtime path, for both backends."""
+    from thaler_study_tpu.fields import F1572869, GOLDILOCKS
+    from thaler_study_tpu.gkr import Prover, generate_gkr_transcript
+    from thaler_study_tpu.utils import FrameworkConfig, use_config
+    from tests.test_reference_scales import _tree_circuit
+
+    circuit = _tree_circuit(3, muls_at=1)
+    for field in (GOLDILOCKS, F1572869):
+        inputs = field.felts([rng.randrange(100) for _ in range(8)])
+        with use_config(FrameworkConfig(gkr_device_tables=True)):
+            t_dev = generate_gkr_transcript(
+                Prover(circuit, inputs, field), field
+            )
+        with use_config(FrameworkConfig(gkr_device_tables=False)):
+            t_host = generate_gkr_transcript(
+                Prover(circuit, inputs, field), field
+            )
+        assert t_dev.to_bytes() == t_host.to_bytes(), field.name
+
+
+def test_device_scatter_and_eq_exact(rng):
+    """Device scatter_add_mod / eq_table_dev equal the host runtime."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from thaler_study_tpu import runtime
+    from thaler_study_tpu.fields import F389, GOLDILOCKS, FArray
+    from thaler_study_tpu.gkr.device_tables import (
+        eq_table_dev,
+        scatter_add_mod,
+    )
+
+    for field in (GOLDILOCKS, F389):
+        p = field.p
+        # eq table
+        rs = [rng.randrange(p) for _ in range(4)]
+        host = runtime.eq_table(rs, p)
+        dev = eq_table_dev(
+            FArray.from_ints(np.array(rs, dtype=object), field), 4
+        )
+        assert [int(v) for v in dev.to_ints()] == [int(v) for v in host]
+        # scatter with heavy collisions (all into few cells)
+        m, size = 500, 8
+        idx = np.array([rng.randrange(size) for _ in range(m)], dtype=np.int32)
+        vals = np.array([rng.randrange(p) for _ in range(m)], dtype=object)
+        host = runtime.scatter_add(
+            idx.astype(np.int64), np.array(vals, dtype=np.uint64), size, p
+        )
+        dev = scatter_add_mod(
+            jnp.asarray(idx), FArray.from_ints(vals, field), size
+        )
+        assert [int(v) for v in dev.to_ints()] == [int(v) for v in host]

@@ -92,3 +92,146 @@ def test_round_sums_actually_sharded(rng):
     sharded = ShardedProductPoly.from_internal_tables(tables, mesh, n_shard=3)
     limb = sharded.tables[0].limbs[0]
     assert len(limb.sharding.device_set) == 8
+
+
+# ---------------------------------------------------------------------------
+# Multi-block sharding (ShardedBlockPoly, VERDICT r1 next-round #5)
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_sharded_transcript_equals_local(rng):
+    """TriangleG (3 blocks X, Y, Z) sharded on Z across the 8-device mesh:
+    byte-identical FS transcript vs the local prover."""
+    from thaler_study_tpu.parallel import ShardedBlockPoly
+    from thaler_study_tpu.protocols import TriangleG
+
+    field = F1572869
+    n = 8  # nodes -> k = 3 vars/block, 9 total
+    adj = [[False] * n for _ in range(n)]
+    for x in range(n):
+        for y in range(x + 1, n):
+            v = rng.random() < 0.5
+            adj[x][y] = adj[y][x] = v
+    g = TriangleG.new_adj_matrix(6, [x for row in adj for x in row], field)
+    mesh = make_mesh()
+    sharded = ShardedBlockPoly.from_internal_tables(
+        g.spec, g.tables, mesh, n_shard=3
+    )
+    assert sharded.num_vars() == 9
+    # table 0 covers (X, Y): replicated; tables 1, 2 cover Z: sharded
+    assert sharded.has_shard == (False, True, True)
+    assert len(sharded.tables[1].limbs[0].sharding.device_set) == 8
+
+    t_local = generate_transcript(
+        SumcheckInteractiveProver(
+            Prover(TriangleG.new_adj_matrix(6, [x for row in adj for x in row], field))
+        ),
+        field,
+    )
+    t_sharded = generate_transcript(
+        SumcheckInteractiveProver(Prover(sharded)), field
+    )
+    assert t_local.to_bytes() == t_sharded.to_bytes()
+
+
+def test_dense_w_sharded_transcript_equals_local(rng):
+    """The dense-W GKR round polynomial (blocks b, c) sharded on c:
+    byte-identical FS transcript vs local, including the scalar-free
+    multi-term spec add*Wb + add*Wc + mul*Wb*Wc."""
+    from thaler_study_tpu.gkr import W
+    from thaler_study_tpu.mle.dense import DenseMLE
+    from thaler_study_tpu.parallel import ShardedBlockPoly
+
+    field = GOLDILOCKS
+    k = 3
+
+    def tbl(nv):
+        return DenseMLE.from_evals_lsb(
+            [rng.randrange(field.p) for _ in range(1 << nv)], nv, field
+        )
+
+    add_i, mul_i, w_b = tbl(2 * k), tbl(2 * k), tbl(k)
+    local = W.new(add_i, mul_i, w_b, w_b)
+    mesh = make_mesh()
+    sharded = ShardedBlockPoly.from_internal_tables(
+        local.spec, local.tables, mesh, n_shard=3
+    )
+    # add, mul, w_c contain block c (last): sharded; w_b replicated
+    assert sharded.has_shard == (True, True, False, True)
+
+    t_local = generate_transcript(
+        SumcheckInteractiveProver(Prover(W.new(add_i, mul_i, w_b, w_b))),
+        field,
+    )
+    t_sharded = generate_transcript(
+        SumcheckInteractiveProver(Prover(sharded)), field
+    )
+    assert t_local.to_bytes() == t_sharded.to_bytes()
+
+
+def test_sharded_block_oracle_and_c1(rng):
+    """c_1 and full-point oracle evaluation agree with the local poly; the
+    interactive verifier with a sharded oracle accepts."""
+    from thaler_study_tpu.parallel import ShardedBlockPoly
+    from thaler_study_tpu.protocols import TriangleG
+    from thaler_study_tpu.sumcheck import (
+        FinalRound,
+        JthRound,
+        SeededRng,
+        Verifier,
+    )
+
+    field = F1572869
+    n = 4
+    adj = [[False] * n for _ in range(n)]
+    for x in range(n):
+        for y in range(x + 1, n):
+            v = rng.random() < 0.6
+            adj[x][y] = adj[y][x] = v
+    g = TriangleG.new_adj_matrix(4, [x for row in adj for x in row], field)
+    mesh2 = make_mesh(jax.devices()[:4])
+    sharded = ShardedBlockPoly.from_internal_tables(
+        g.spec, g.tables, mesh2, n_shard=2
+    )
+    assert sharded.sum_evaluations() == g.sum_evaluations()
+    pt = [field.felt(rng.randrange(field.p)) for _ in range(6)]
+    assert sharded.evaluate(pt) == g.evaluate(pt)
+
+    prover = Prover(
+        ShardedBlockPoly.from_internal_tables(g.spec, g.tables, mesh2, n_shard=2)
+    )
+    verifier = Verifier(6, sharded)
+    verifier.set_c_1(prover.c_1())
+    r_j = field.one()
+    srng = SeededRng(3)
+    accepted = None
+    for j in range(6):
+        res = verifier.round(prover.round(r_j, j), srng)
+        if isinstance(res, JthRound):
+            r_j = res.r
+        else:
+            assert isinstance(res, FinalRound)
+            accepted = res.accepted
+    assert accepted is True
+
+
+def test_sharded_block_fix_variables_matches_local(rng):
+    """The fold-only resume path crosses the gather boundary correctly."""
+    from thaler_study_tpu.parallel import ShardedBlockPoly
+    from thaler_study_tpu.protocols import TriangleG
+
+    field = F1572869
+    n = 4
+    adj = [[rng.random() < 0.5 for _ in range(n)] for _ in range(n)]
+    g = TriangleG.new_adj_matrix(4, [x for row in adj for x in row], field)
+    mesh2 = make_mesh(jax.devices()[:4])
+    sharded = ShardedBlockPoly.from_internal_tables(
+        g.spec, g.tables, mesh2, n_shard=2
+    )
+    rs = [field.felt(rng.randrange(field.p)) for _ in range(5)]
+    lp = g.fix_variables(rs)
+    sp = sharded.fix_variables(rs)
+    # one variable remains; next round message must agree
+    lu, _ = lp.round_univariate(None)
+    su, _ = sp.round_univariate(None)
+    assert lu == su

@@ -71,38 +71,79 @@ class LibraW:
         circuit: Circuit,
         layer_i: int,
         r_i: List[Felt],
-        w_next: np.ndarray,  # layer i+1 values, canonical uint64
+        w_next,  # layer i+1 values: canonical uint64 array OR label-order FArray
         field: FieldConfig,
         mesh=None,
         n_shard=None,
+        device_tables: bool = None,
     ):
+        from ..utils.config import get_config
+
         self.field = field
         self.mesh = mesh
         self.n_shard = n_shard
         p = field.p
         k = circuit.num_vars_at(layer_i + 1)
+        k_cur = circuit.num_vars_at(layer_i)
         self.k = k
         self.j = 0  # next round index (0..2k-1)
         self.u: List[Felt] = []  # phase-1 challenges
         b_idx, c_idx, is_mul = circuit._wiring[layer_i]
         self._wiring = (b_idx, c_idx, is_mul)
-        self.w_next = np.ascontiguousarray(w_next, dtype=np.uint64)
+        if device_tables is None:
+            device_tables = get_config().gkr_device_tables
+        self.device_tables = device_tables
 
-        eq_r = runtime.eq_table([f.v for f in r_i], p)
-        self.eq_r = eq_r
-        w_at_c = self.w_next[c_idx]
-        eqr_w = _mulmod_arr(eq_r[: len(b_idx)], w_at_c, p)
-        # A1: add gates contribute eq_r, mul gates eq_r * W(c)
-        vals_a1 = np.where(is_mul, eqr_w, eq_r[: len(b_idx)])
-        a1 = runtime.scatter_add(b_idx.astype(np.int64), vals_a1, 1 << k, p)
-        # A2: add gates contribute eq_r * W(c)
-        vals_a2 = np.where(is_mul, np.uint64(0), eqr_w)
-        a2 = runtime.scatter_add(b_idx.astype(np.int64), vals_a2, 1 << k, p)
+        if device_tables:
+            from .device_tables import _phase1_jit, lsb_to_msb
 
-        w_mle = DenseMLE.from_evals_lsb(self.w_next, k, field)
-        a1_mle = DenseMLE.from_evals_lsb(a1, k, field)
-        a2_mle = DenseMLE.from_evals_lsb(a2, k, field)
-        tables = (w_mle.evals, a1_mle.evals, a2_mle.evals)
+            import jax.numpy as jnp
+
+            if isinstance(w_next, FArray):
+                w_lsb = w_next
+            else:
+                w_lsb = FArray.from_ints(
+                    np.ascontiguousarray(w_next, dtype=np.uint64), field
+                )
+            self._w_lsb = w_lsb
+            r_arr = FArray.from_ints(
+                np.array([f.v for f in r_i], dtype=object), field
+            )
+            a1_lsb, a2_lsb, eq_r_dev = _phase1_jit(k_cur, k, field)(
+                r_arr,
+                w_lsb,
+                jnp.asarray(b_idx),
+                jnp.asarray(c_idx),
+                jnp.asarray(is_mul),
+            )
+            self._eq_r_dev = eq_r_dev
+            tables = (
+                lsb_to_msb(w_lsb, k),
+                lsb_to_msb(a1_lsb, k),
+                lsb_to_msb(a2_lsb, k),
+            )
+        else:
+            if isinstance(w_next, FArray):
+                w_next = np.asarray(w_next.to_ints(), dtype=np.uint64)
+            self.w_next = np.ascontiguousarray(w_next, dtype=np.uint64)
+            eq_r = runtime.eq_table([f.v for f in r_i], p)
+            self.eq_r = eq_r
+            w_at_c = self.w_next[c_idx]
+            eqr_w = _mulmod_arr(eq_r[: len(b_idx)], w_at_c, p)
+            # A1: add gates contribute eq_r, mul gates eq_r * W(c)
+            vals_a1 = np.where(is_mul, eqr_w, eq_r[: len(b_idx)])
+            a1 = runtime.scatter_add(
+                b_idx.astype(np.int64), vals_a1, 1 << k, p
+            )
+            # A2: add gates contribute eq_r * W(c)
+            vals_a2 = np.where(is_mul, np.uint64(0), eqr_w)
+            a2 = runtime.scatter_add(
+                b_idx.astype(np.int64), vals_a2, 1 << k, p
+            )
+            w_mle = DenseMLE.from_evals_lsb(self.w_next, k, field)
+            a1_mle = DenseMLE.from_evals_lsb(a1, k, field)
+            a2_mle = DenseMLE.from_evals_lsb(a2, k, field)
+            tables = (w_mle.evals, a1_mle.evals, a2_mle.evals)
         terms = ((0, 1), (2,))
         if mesh is not None:
             from ..parallel import ShardedProductPoly
@@ -129,20 +170,51 @@ class LibraW:
         k = self.k
         b_idx, c_idx, is_mul = self._wiring
         self.u.append(r_last)
-        eq_u = runtime.eq_table([f.v for f in self.u], p)
-        w_u = runtime.mle_eval(self.w_next, [f.v for f in self.u], p)
-        t = _mulmod_arr(self.eq_r[: len(b_idx)], eq_u[b_idx], p)
-        b1 = runtime.scatter_add(
-            c_idx.astype(np.int64), np.where(is_mul, np.uint64(0), t), 1 << k, p
-        )
-        b2 = runtime.scatter_add(
-            c_idx.astype(np.int64), np.where(is_mul, t, np.uint64(0)), 1 << k, p
-        )
-        b1_mle = DenseMLE.from_evals_lsb(b1, k, self.field)
-        b2_mle = DenseMLE.from_evals_lsb(b2, k, self.field)
-        wc_mle = DenseMLE.from_evals_lsb(self.w_next, k, self.field)
-        w_u_arr = FArray.from_ints(np.array([w_u], dtype=np.uint64), self.field)
-        tables = (b1_mle.evals, b2_mle.evals, wc_mle.evals, w_u_arr)
+        if self.device_tables:
+            from .device_tables import _phase2_jit, lsb_to_msb
+
+            import jax.numpy as jnp
+
+            u_arr = FArray.from_ints(
+                np.array([f.v for f in self.u], dtype=object), self.field
+            )
+            b1_lsb, b2_lsb, w_u_arr = _phase2_jit(k, self.field)(
+                u_arr,
+                self._w_lsb,
+                self._eq_r_dev,
+                jnp.asarray(b_idx),
+                jnp.asarray(c_idx),
+                jnp.asarray(is_mul),
+            )
+            tables = (
+                lsb_to_msb(b1_lsb, k),
+                lsb_to_msb(b2_lsb, k),
+                lsb_to_msb(self._w_lsb, k),
+                w_u_arr,
+            )
+        else:
+            eq_u = runtime.eq_table([f.v for f in self.u], p)
+            w_u = runtime.mle_eval(self.w_next, [f.v for f in self.u], p)
+            t = _mulmod_arr(self.eq_r[: len(b_idx)], eq_u[b_idx], p)
+            b1 = runtime.scatter_add(
+                c_idx.astype(np.int64),
+                np.where(is_mul, np.uint64(0), t),
+                1 << k,
+                p,
+            )
+            b2 = runtime.scatter_add(
+                c_idx.astype(np.int64),
+                np.where(is_mul, t, np.uint64(0)),
+                1 << k,
+                p,
+            )
+            b1_mle = DenseMLE.from_evals_lsb(b1, k, self.field)
+            b2_mle = DenseMLE.from_evals_lsb(b2, k, self.field)
+            wc_mle = DenseMLE.from_evals_lsb(self.w_next, k, self.field)
+            w_u_arr = FArray.from_ints(
+                np.array([w_u], dtype=np.uint64), self.field
+            )
+            tables = (b1_mle.evals, b2_mle.evals, wc_mle.evals, w_u_arr)
         terms = ((0, 3), (0, 2), (1, 3, 2))
         if self.mesh is not None:
             from ..parallel import ShardedProductPoly

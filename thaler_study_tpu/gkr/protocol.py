@@ -159,40 +159,78 @@ class Prover:
         use_linear: bool = True,
         mesh=None,
         n_shard=None,
+        device_forward: Optional[bool] = None,
     ):
         import numpy as np
+
+        from ..utils.config import get_config
 
         self.circuit = circuit
         self.field = field
         self.use_linear = use_linear
         self.mesh = mesh
         self.n_shard = n_shard
-        vals = np.array([f.v for f in inputs], dtype=np.uint64)
-        self.layers_u64 = circuit.evaluate_host_u64(vals, field.p)
+        if device_forward is None:
+            device_forward = get_config().gkr_device_tables
+        self.device_forward = device_forward
+        if device_forward:
+            from ..fields import FArray
+
+            inp = FArray.from_ints(
+                np.array([f.v for f in inputs], dtype=object), field
+            )
+            self.layers_dev = circuit.evaluate_device(inp)  # label order
+            self._layers_host_cache: dict = {}
+        else:
+            vals = np.array([f.v for f in inputs], dtype=np.uint64)
+            self.layers_u64 = circuit.evaluate_host_u64(vals, field.p)
         self.i = 0
         self.prover: Optional[SumCheckProver] = None
         self.w: Optional[DenseMLE] = None
         self.r: List[Felt] = []
 
+    def _layer_host(self, i: int):
+        """Layer i values as host ints (device layers pulled lazily)."""
+        if not self.device_forward:
+            return self.layers_u64[i]
+        if i not in self._layers_host_cache:
+            self._layers_host_cache[i] = [
+                int(v) for v in self.layers_dev[i].to_ints()
+            ]
+        return self._layers_host_cache[i]
+
     @property
     def evaluation(self) -> CircuitEvaluation:
         """Felt view of the per-layer values (reference-compatible)."""
+        n_layers = len(self.circuit.layers) + 1
         return CircuitEvaluation(
-            [[Felt(int(v), self.field) for v in layer] for layer in self.layers_u64]
+            [
+                [Felt(int(v), self.field) for v in self._layer_host(i)]
+                for i in range(n_layers)
+            ]
         )
 
     def start_protocol(self) -> Begin:
         """Send W_0, the claimed output values (ref :363-367)."""
         return Begin(
-            circuit_outputs=[Felt(int(v), self.field) for v in self.layers_u64[0]]
+            circuit_outputs=[
+                Felt(int(v), self.field) for v in self._layer_host(0)
+            ]
         )
 
     def start_round(self, i: int, r_i: Sequence[Felt]) -> StartSumCheck:
         """Spin up the layer-i sumcheck over W (ref :373-436)."""
         num_vars_next = self.circuit.num_vars_at(i + 1)
-        w_b = DenseMLE.from_evals_lsb(
-            self.layers_u64[i + 1], num_vars_next, self.field
-        )
+        if self.device_forward:
+            w_b = DenseMLE.from_evals_lsb_farray(
+                self.layers_dev[i + 1], num_vars_next
+            )
+            w_next = self.layers_dev[i + 1]
+        else:
+            w_b = DenseMLE.from_evals_lsb(
+                self.layers_u64[i + 1], num_vars_next, self.field
+            )
+            w_next = self.layers_u64[i + 1]
         self.w = w_b
         if self.use_linear:
             from .linear import LibraW
@@ -201,7 +239,7 @@ class Prover:
                 self.circuit,
                 i,
                 list(r_i),
-                self.layers_u64[i + 1],
+                w_next,
                 self.field,
                 mesh=self.mesh,
                 n_shard=self.n_shard,

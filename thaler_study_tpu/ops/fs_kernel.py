@@ -21,8 +21,9 @@ kernel therefore assumes every coefficient is nonzero (probability
 and the host wrapper falls back to the exact host loop when the flag fires.
 Transcripts are bit-exact in both cases.
 
-Scope: Goldilocks single-block product polynomials (the BASELINE perf
-configs). Other fields/specs fall back to the host loop.
+Scope: single-block product polynomials over Goldilocks (2x uint32
+canonical) or any mont32 field (the reference's F5/F389/F1572869 plus
+BabyBear). Unsupported specs fall back to the host loop.
 """
 
 from __future__ import annotations
@@ -35,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields import FArray, FieldConfig
+from ..fields import backend32 as b32
 from ..fields import goldilocks as gl
 from ..fields.field import GOLDILOCKS_P
 from .round_kernel import PolySpec, _fold_tables, _round_sums
@@ -43,9 +45,9 @@ from .sha256 import _H0, _compress
 U8 = jnp.uint8
 U32 = jnp.uint32
 
-# DefaultFieldHasher<Sha256, 128> for Goldilocks: len_per_base_elem =
-# ceil((64 + 128)/8) = 24 bytes (fiat_shamir/hash_to_field.py).
-_LEN_PER_ELEM = 24
+# DefaultFieldHasher<Sha256, 128>: len_per_base_elem =
+# ceil((bits(p) + 128)/8) (fiat_shamir/hash_to_field.py) — 24 bytes for
+# Goldilocks, <= 20 for mont32 fields (so ell = 1 in both cases).
 _C64 = (1 << 64) % GOLDILOCKS_P
 _C128 = (1 << 128) % GOLDILOCKS_P
 
@@ -60,6 +62,15 @@ def _felt_bytes_le(lo, hi) -> jnp.ndarray:
     for w in (lo, hi):
         for s in (0, 8, 16, 24):
             parts.append(((w >> U32(s)) & U32(0xFF)).astype(U8))
+    return jnp.stack(parts)
+
+
+def _felt_bytes_le_m32(canon, byte_size: int) -> jnp.ndarray:
+    """Canonical uint32 scalar -> byte_size little-endian bytes (mont32)."""
+    parts = [
+        ((canon >> U32(8 * s)) & U32(0xFF)).astype(U8)
+        for s in range(byte_size)
+    ]
     return jnp.stack(parts)
 
 
@@ -99,24 +110,28 @@ def _sha256_dev(msg: jnp.ndarray) -> jnp.ndarray:
     return state
 
 
-def _hash_to_field_gl(transcript: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """DefaultFieldHasher<Sha256,128>::hash_to_field::<1> with empty DST for
-    Goldilocks, fully on device. RFC 9380 expand_message_xmd with
-    len_in_bytes = 24 (ell = 1), then big-endian reduction mod p.
-
-    Returns canonical (lo, hi) uint32 scalars.
-    """
+def _expand_xmd_dev(transcript: jnp.ndarray, length: int) -> jnp.ndarray:
+    """RFC 9380 expand_message_xmd (empty DST, length <= 32 so ell = 1) on
+    device; returns the 8 uint32 digest words of b_1."""
     z_pad = np.zeros(64, dtype=np.uint8)
     # l_i_b_str (2 bytes BE) + the 0x00 separator + dst_prime = [len(dst)=0]
-    suffix = np.array([0, _LEN_PER_ELEM, 0, 0], dtype=np.uint8)
+    suffix = np.array([length >> 8, length & 0xFF, 0, 0], dtype=np.uint8)
     b_0 = _sha256_dev(
         jnp.concatenate([jnp.asarray(z_pad), transcript, jnp.asarray(suffix)])
     )
     b0_bytes = _words_be_to_bytes(b_0)
     one_dst = np.array([1, 0], dtype=np.uint8)  # block index 1 + dst_prime
-    b_1 = _sha256_dev(jnp.concatenate([b0_bytes, jnp.asarray(one_dst)]))
+    return _sha256_dev(jnp.concatenate([b0_bytes, jnp.asarray(one_dst)]))
+
+
+def _hash_to_field_gl(transcript: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """DefaultFieldHasher<Sha256,128>::hash_to_field::<1> with empty DST for
+    Goldilocks, fully on device. len_in_bytes = 24, big-endian reduction.
+
+    Returns canonical (lo, hi) uint32 scalars.
+    """
     # value = int.from_bytes(first 24 bytes, 'big') = w0..w5 big-endian
-    w = b_1
+    w = _expand_xmd_dev(transcript, 24)
     hi_lo, hi_hi = w[1], w[0]
     mid_lo, mid_hi = w[3], w[2]
     lo_lo, lo_hi = w[5], w[4]
@@ -129,6 +144,27 @@ def _hash_to_field_gl(transcript: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray
     acc = gl.add(lo_lo, lo_hi, *gl.mul(mid_lo, mid_hi, *c64))
     acc = gl.add(*acc, *gl.mul(hi_lo, hi_hi, *c128))
     return acc
+
+
+def _hash_to_field_m32(transcript: jnp.ndarray, field: FieldConfig) -> jnp.ndarray:
+    """hash_to_field for mont32 fields: len_in_bytes = ceil((bits+128)/8),
+    big-endian Horner reduction byte-by-byte (acc = acc*256 + b mod p).
+
+    Returns the challenge as a MONTGOMERY-domain uint32 scalar (the form the
+    fold consumes)."""
+    p = field.p
+    pinv = field.mont_pinv_neg
+    length = (field.bit_size + 128 + 7) // 8
+    w = _expand_xmd_dev(transcript, length)
+    c256 = U32((256 << 32) % p)
+    acc = U32(0) * w[0]  # 0 scalar with traced dtype
+    for i in range(length):
+        byte = (w[i // 4] >> U32(24 - 8 * (i % 4))) & U32(0xFF)
+        acc = b32.mont_mul(p, pinv, acc, c256)
+        acc = acc + byte
+        acc = jnp.where(acc >= U32(p), acc - U32(p), acc)
+    # canonical -> Montgomery
+    return b32.to_mont(p, pinv, field.mont_r2, acc)
 
 
 @lru_cache(maxsize=None)
@@ -153,10 +189,29 @@ def _interp_matrix(degree: int, p: int) -> tuple:
 
 
 def _interp_coeffs(sums: FArray, degree: int) -> list:
-    """Round sums s(0..d) (FArray [d+1]) -> coefficient scalars [(lo,hi)]."""
-    p = sums.field.p
+    """Round sums s(0..d) (FArray [d+1]) -> CANONICAL coefficient scalars
+    [(lo, hi)] (hi = 0 for mont32 fields)."""
+    field = sums.field
+    p = field.p
     m = _interp_matrix(degree, p)
-    s = [(sums.limbs[0][t], sums.limbs[1][t]) for t in range(degree + 1)]
+    if field.backend == "goldilocks":
+        s = [(sums.limbs[0][t], sums.limbs[1][t]) for t in range(degree + 1)]
+        out = []
+        for i in range(degree + 1):
+            acc = None
+            for t in range(degree + 1):
+                c = m[i][t]
+                if c == 0:
+                    continue
+                clo, chi = U32(c & 0xFFFFFFFF), U32(c >> 32)
+                term = gl.mul(s[t][0], s[t][1], clo, chi)
+                acc = term if acc is None else gl.add(*acc, *term)
+            if acc is None:
+                acc = (U32(0), U32(0))
+            out.append(acc)
+        return out
+    pinv = field.mont_pinv_neg
+    s = [sums.limbs[0][t] for t in range(degree + 1)]
     out = []
     for i in range(degree + 1):
         acc = None
@@ -164,12 +219,13 @@ def _interp_coeffs(sums: FArray, degree: int) -> list:
             c = m[i][t]
             if c == 0:
                 continue
-            clo, chi = U32(c & 0xFFFFFFFF), U32(c >> 32)
-            term = gl.mul(s[t][0], s[t][1], clo, chi)
-            acc = term if acc is None else gl.add(*acc, *term)
+            # montmul(mont(s), (c << 32) % p) = mont(s * c)
+            term = b32.mont_mul(p, pinv, s[t], U32((c << 32) % p))
+            acc = term if acc is None else b32.add(p, acc, term)
         if acc is None:
-            acc = (U32(0), U32(0))
-        out.append(acc)
+            acc = U32(0) * s[0]
+        canon = b32.from_mont(p, pinv, acc)
+        out.append((canon, jnp.zeros_like(canon)))
     return out
 
 
@@ -184,6 +240,8 @@ def _fs_prove_impl(spec: PolySpec, n: int, degree: int):
         any_zero = jnp.asarray(False)
         r: Optional[FArray] = None
         field = tables[0].field
+        is_gl = field.backend == "goldilocks"
+        byte_size = field.byte_size
         for j in range(n):
             if r is not None:
                 tables = _fold_tables(cur_spec, tables, r)
@@ -196,21 +254,39 @@ def _fs_prove_impl(spec: PolySpec, n: int, degree: int):
             # serialize the round message (ark layout, all coeffs nonzero)
             parts = []
             if j == 0:
-                c1 = gl.add(
-                    sums.limbs[0][0],
-                    sums.limbs[1][0],
-                    sums.limbs[0][1],
-                    sums.limbs[1][1],
-                )
-                parts.append(_felt_bytes_le(*c1))
+                if is_gl:
+                    c1 = gl.add(
+                        sums.limbs[0][0],
+                        sums.limbs[1][0],
+                        sums.limbs[0][1],
+                        sums.limbs[1][1],
+                    )
+                    parts.append(_felt_bytes_le(*c1))
+                else:
+                    c1_mont = b32.add(
+                        field.p, sums.limbs[0][0], sums.limbs[0][1]
+                    )
+                    c1_canon = b32.from_mont(
+                        field.p, field.mont_pinv_neg, c1_mont
+                    )
+                    c1 = (c1_canon, jnp.zeros_like(c1_canon))
+                    parts.append(_felt_bytes_le_m32(c1_canon, byte_size))
             parts.append(jnp.asarray(_le_bytes_u64_const(degree + 1)))
             for t, (lo, hi) in enumerate(coeffs):
                 parts.append(jnp.asarray(_le_bytes_u64_const(t)))
-                parts.append(_felt_bytes_le(lo, hi))
+                if is_gl:
+                    parts.append(_felt_bytes_le(lo, hi))
+                else:
+                    parts.append(_felt_bytes_le_m32(lo, byte_size))
             transcript = jnp.concatenate([transcript] + parts)
             if j < n - 1:
-                rlo, rhi = _hash_to_field_gl(transcript)
-                r = FArray((rlo, rhi), field)
+                if is_gl:
+                    rlo, rhi = _hash_to_field_gl(transcript)
+                    r = FArray((rlo, rhi), field)
+                else:
+                    r = FArray(
+                        (_hash_to_field_m32(transcript, field),), field
+                    )
         coeff_lo = jnp.stack(
             [jnp.stack([c[0] for c in row]) for row in coeff_rows]
         )
@@ -233,16 +309,40 @@ def _fs_prove_jit(spec: PolySpec, degree: int, field: FieldConfig):
 
 
 def supports_fused_fs(spec: PolySpec, field: FieldConfig, dst: bytes) -> bool:
-    """The fused path covers: Goldilocks, empty DST, one variable block,
-    every table over that block (degree = #tables per term is then constant
+    """The fused path covers: empty DST (the reference's test config), any
+    supported backend (goldilocks or mont32), one variable block, every
+    table over that block (degree = #tables per term is then constant
     across rounds)."""
-    if field.p != GOLDILOCKS_P or dst != b"":
+    if dst != b"":
+        return False
+    if field.backend not in ("goldilocks", "mont32"):
         return False
     if len(spec.block_sizes) != 1:
         return False
     if any(tb != (0,) for tb in spec.table_blocks):
         return False
     return spec.num_vars() >= 1
+
+
+def _assemble_msgs(
+    c1_arr, coeff_lo, coeff_hi, n: int, degree: int, byte_size: int
+) -> list:
+    """Host re-assembly of the byte messages from device coefficient ints —
+    the exact layout the device hashed (see _fs_prove_impl serialization)."""
+    c1_v = int(c1_arr[0]) | (int(c1_arr[1]) << 32)
+    msgs = []
+    len_prefix = (degree + 1).to_bytes(8, "little")
+    for j in range(n):
+        out = []
+        if j == 0:
+            out.append(c1_v.to_bytes(byte_size, "little"))
+        out.append(len_prefix)
+        for t in range(degree + 1):
+            v = int(coeff_lo[j][t]) | (int(coeff_hi[j][t]) << 32)
+            out.append(t.to_bytes(8, "little"))
+            out.append(v.to_bytes(byte_size, "little"))
+        msgs.append(b"".join(out))
+    return msgs
 
 
 def fs_prove_device(
@@ -262,21 +362,47 @@ def fs_prove_device(
     c1_arr, coeff_lo, coeff_hi, any_zero = fn(tuple(tables))
     if bool(any_zero):
         return None
+    return _assemble_msgs(
+        np.asarray(c1_arr),
+        np.asarray(coeff_lo),
+        np.asarray(coeff_hi),
+        spec.num_vars(),
+        degree,
+        field.byte_size,
+    )
+
+
+@lru_cache(maxsize=None)
+def _fs_prove_batch_jit(spec: PolySpec, degree: int, field: FieldConfig):
+    impl = _fs_prove_impl(spec, spec.num_vars(), degree)
+    return jax.jit(jax.vmap(impl))
+
+
+def fs_prove_device_batch(
+    spec: PolySpec, tables: Sequence[FArray], dst: bytes = b""
+) -> Optional[list]:
+    """B independent whole proofs in ONE device dispatch (vmapped kernel).
+
+    ``tables``: per-factor FArrays of shape [B, 2^n]. Returns a list of B
+    message lists, or ``None`` for the host fallback (unsupported combo, or
+    any instance hit a zero coefficient — rare; the caller re-proves the
+    batch exactly).
+    """
+    field = tables[0].field
+    if not supports_fused_fs(spec, field, dst):
+        return None
+    degree = spec.degree()
+    fn = _fs_prove_batch_jit(spec, degree, field)
+    c1_arr, coeff_lo, coeff_hi, any_zero = fn(tuple(tables))
+    if bool(np.asarray(any_zero).any()):
+        return None
     c1_arr = np.asarray(c1_arr)
     coeff_lo = np.asarray(coeff_lo)
     coeff_hi = np.asarray(coeff_hi)
     n = spec.num_vars()
-    c1_v = int(c1_arr[0]) | (int(c1_arr[1]) << 32)
-    msgs = []
-    len_prefix = (degree + 1).to_bytes(8, "little")
-    for j in range(n):
-        out = []
-        if j == 0:
-            out.append(c1_v.to_bytes(8, "little"))
-        out.append(len_prefix)
-        for t in range(degree + 1):
-            v = int(coeff_lo[j][t]) | (int(coeff_hi[j][t]) << 32)
-            out.append(t.to_bytes(8, "little"))
-            out.append(v.to_bytes(8, "little"))
-        msgs.append(b"".join(out))
-    return msgs
+    return [
+        _assemble_msgs(
+            c1_arr[b], coeff_lo[b], coeff_hi[b], n, degree, field.byte_size
+        )
+        for b in range(c1_arr.shape[0])
+    ]

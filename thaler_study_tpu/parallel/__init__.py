@@ -12,15 +12,35 @@ The reference has no parallelism (single-threaded Rust; SURVEY.md section 2
 - challenge broadcast: replicated host scalars.
 
 TP/PP/EP have no analogue in the reference's behavior (SURVEY.md section 2);
-the multi-block protocols (GKR, triangles) shard the same way along their
-leading block — wired up in a later round.
+the multi-block protocols shard via ``ShardedBlockPoly`` (trailing variables
+of the last block: Z for the triangle IP, c for the dense-W GKR polynomial),
+keeping every early fold local and all-reducing only the round sums.
 """
 
+from .multihost import (
+    DCN_AXIS,
+    ICI_AXIS,
+    init_distributed,
+    make_mesh_2d,
+    mesh_axis_spec,
+)
 from .sharded import (
     AXIS,
+    ShardedBlockPoly,
     ShardedProductPoly,
     make_mesh,
     shard_factor,
 )
 
-__all__ = ["AXIS", "ShardedProductPoly", "make_mesh", "shard_factor"]
+__all__ = [
+    "AXIS",
+    "DCN_AXIS",
+    "ICI_AXIS",
+    "ShardedBlockPoly",
+    "ShardedProductPoly",
+    "init_distributed",
+    "make_mesh",
+    "make_mesh_2d",
+    "mesh_axis_spec",
+    "shard_factor",
+]

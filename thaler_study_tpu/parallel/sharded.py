@@ -51,14 +51,20 @@ def make_mesh(devices=None, axis: str = AXIS) -> Mesh:
 
 
 def shard_factor(
-    table: FArray, mesh: Mesh, n_shard: int, axis: str = AXIS
+    table: FArray, mesh: Mesh, n_shard: int, axis=None
 ) -> FArray:
     """Reshape a 1-D internal-order table to the sharded 2-D layout.
 
     Internal 1-D order has variable 0 at the MSB; the sharded layout wants
     the *last* n_shard variables on axis 0, so this is a [L, S] reshape
     followed by a transpose, then a device_put with the row sharding.
+
+    ``axis`` defaults to ALL mesh axes (outermost first): on a 2-axis
+    ('dcn', 'ici') mesh the shard dimension splits hierarchically with the
+    highest bits on DCN (see parallel/multihost.py).
     """
+    if axis is None:
+        axis = tuple(mesh.axis_names)
     n = table.shape[0].bit_length() - 1
     n_local = n - n_shard
     ndev = mesh.devices.size
@@ -369,3 +375,385 @@ class ShardedProductPoly:
 
     def num_vars_total(self) -> int:
         return self.num_vars()
+
+
+# ---------------------------------------------------------------------------
+# Multi-block sharding (VERDICT r1 next-round #5)
+#
+# ShardedProductPoly covers single-block products; the triangle IP (blocks
+# X, Y, Z — triangle-counting/src/lib.rs:22-51) and the dense-W GKR round
+# polynomial (blocks b, c — gkr-protocol/src/round_polynomial.rs:23-28) need
+# block-aware sharding. ShardedBlockPoly shards the TRAILING s variables of
+# the LAST block: those are the last variables the sumcheck folds, so every
+# earlier fold is local, and the only communication is the GSPMD all-reduce
+# of the (degree+1) round sums (plus the trivially small residual gather
+# when the local variables are exhausted) — identical structure to the
+# single-block case, generalized to arbitrary PolySpecs.
+#
+# Layout per factor table k:
+#   - k contains the last block: [2^s, 2^(local vars of k)], axis 0 sharded
+#     over the mesh; axis 1 is the table's internal MSB-first order with the
+#     last block's size reduced by s.
+#   - otherwise: [1, 2^(vars of k)], replicated.
+# Terms that do not cover the sharded variables are scaled by the 2^missing
+# multiplicity exactly like ops.round_kernel._round_sums.
+# ---------------------------------------------------------------------------
+
+
+def _mb_dims(
+    spec: PolySpec, k: int, s_axis: int, halve_block0: bool
+) -> Tuple[int, ...]:
+    dims = [s_axis]
+    for b in range(len(spec.block_sizes)):
+        if b in spec.table_blocks[k]:
+            d = 1 << spec.block_sizes[b]
+            if b == 0 and halve_block0:
+                d //= 2
+            dims.append(d)
+        else:
+            dims.append(1)
+    return tuple(dims)
+
+
+def _mb_fold(spec: PolySpec, tables: Sequence[FArray], r: FArray):
+    out = []
+    for k, t in enumerate(tables):
+        if 0 in spec.table_blocks[k] and spec.block_sizes[0] > 0:
+            half = t.shape[1] // 2
+            lo, hi = t[:, :half], t[:, half:]
+            out.append(lo + (hi - lo) * r)
+        else:
+            out.append(t)
+    return tuple(out)
+
+
+def _mb_sums(
+    spec: PolySpec,
+    has_shard: Tuple[bool, ...],
+    tables: Sequence[FArray],
+    degree: int,
+    s: int,
+) -> FArray:
+    field = tables[0].field
+    total_vars = spec.num_vars() + s
+    shaped = []
+    for k, t in enumerate(tables):
+        dims = _mb_dims(spec, k, t.shape[0], halve_block0=True)
+        if 0 in spec.table_blocks[k] and spec.block_sizes[0] > 0:
+            half = t.shape[1] // 2
+            lo = t[:, :half].reshape(dims)
+            hi = t[:, half:].reshape(dims)
+            shaped.append((lo, hi, hi - lo))
+        else:
+            dims = _mb_dims(spec, k, t.shape[0], halve_block0=False)
+            shaped.append((t.reshape(dims), None, None))
+    prev = None
+    sums = []
+    from ..ops.round_kernel import _pow2_scalar
+
+    for t_val in range(degree + 1):
+        if t_val == 0:
+            views = [lo for lo, _, _ in shaped]
+        elif t_val == 1:
+            views = [hi if hi is not None else lo for lo, hi, _ in shaped]
+        else:
+            views = [
+                v + d if d is not None else v
+                for v, (_, _, d) in zip(prev, shaped)
+            ]
+        prev = views
+        acc = None
+        for term in spec.terms:
+            blocks = set()
+            for k in term:
+                blocks.update(spec.table_blocks[k])
+            covered_shard = any(has_shard[k] for k in term)
+            nvars = sum(spec.block_sizes[b] for b in blocks) + (
+                s if covered_shard else 0
+            )
+            prod = views[term[0]]
+            for k in term[1:]:
+                prod = prod * views[k]
+            # reduce local axes first; the sharded axis 0 last (its pairwise
+            # tree becomes the GSPMD all-reduce of the round sums)
+            while prod.ndim > 1:
+                prod = prod.sum(axis=prod.ndim - 1)
+            total = prod.sum(axis=0)
+            missing = total_vars - 1 - (nvars - 1 if 0 in blocks else nvars)
+            if missing:
+                total = total * _pow2_scalar(field, missing)
+            acc = total if acc is None else acc + total
+        sums.append(acc.reshape((1,)))
+    out = sums[0]
+    for v in sums[1:]:
+        out = out.concatenate(v, axis=0)
+    return out
+
+
+@lru_cache(maxsize=None)
+def _mb_round_jit(
+    spec: PolySpec,
+    has_shard: Tuple[bool, ...],
+    do_fold: bool,
+    degree: int,
+    s: int,
+    field: FieldConfig,
+):
+    def impl(tables, r):
+        cur = spec
+        if do_fold:
+            tables = _mb_fold(cur, tables, r)
+            cur = cur.after_fold()
+        return _mb_sums(cur, has_shard, tables, degree, s), tables
+
+    return jax.jit(impl)
+
+
+@lru_cache(maxsize=None)
+def _mb_fold_jit(spec: PolySpec, nfac: int, field: FieldConfig):
+    def impl(tables, r):
+        return _mb_fold(spec, tables, r)
+
+    return jax.jit(impl)
+
+
+@lru_cache(maxsize=None)
+def _mb_c1_jit(
+    spec: PolySpec,
+    has_shard: Tuple[bool, ...],
+    s: int,
+    field: FieldConfig,
+):
+    from ..ops.round_kernel import _pow2_scalar
+
+    def impl(tables):
+        total_vars = spec.num_vars() + s
+        acc = None
+        for term in spec.terms:
+            blocks = set()
+            for k in term:
+                blocks.update(spec.table_blocks[k])
+            covered_shard = any(has_shard[k] for k in term)
+            nvars = sum(spec.block_sizes[b] for b in blocks) + (
+                s if covered_shard else 0
+            )
+            prod = None
+            for k in term:
+                v = tables[k].reshape(
+                    _mb_dims(spec, k, tables[k].shape[0], halve_block0=False)
+                )
+                prod = v if prod is None else prod * v
+            while prod.ndim > 1:
+                prod = prod.sum(axis=prod.ndim - 1)
+            total = prod.sum(axis=0)
+            if total_vars - nvars:
+                total = total * _pow2_scalar(tables[0].field, total_vars - nvars)
+            acc = total if acc is None else acc + total
+        return acc
+
+    return jax.jit(impl)
+
+
+class ShardedBlockPoly:
+    """A multi-block product polynomial sharded on the trailing variables of
+    its last block (the SumCheckPolynomial hot-path interface).
+
+    Byte-identical transcripts to the local ProductPoly over the same spec
+    and tables (tests/test_parallel.py)."""
+
+    def __init__(
+        self,
+        spec_local: PolySpec,
+        tables: Sequence[FArray],
+        has_shard: Tuple[bool, ...],
+        n_shard: int,
+        mesh: Mesh,
+    ):
+        self.spec = spec_local
+        self.tables = tuple(tables)
+        self.has_shard = tuple(has_shard)
+        self.n_shard = n_shard
+        self.mesh = mesh
+        self._local_poly: Optional[ProductPoly] = None
+
+    @classmethod
+    def from_internal_tables(
+        cls,
+        spec: PolySpec,
+        tables: Sequence[FArray],
+        mesh: Mesh,
+        n_shard: Optional[int] = None,
+        axis=None,
+    ) -> "ShardedBlockPoly":
+        """Shard 1-D internal-order tables of a full PolySpec.
+
+        ``n_shard`` defaults to the active config's ``shard_vars``, else
+        log2 of the mesh size — capped at the last block's size."""
+        from ..utils.config import get_config
+
+        last = len(spec.block_sizes) - 1
+        if n_shard is None:
+            n_shard = get_config().shard_vars
+        if n_shard is None:
+            n_shard = (mesh.devices.size - 1).bit_length()
+        n_shard = min(n_shard, spec.block_sizes[last])
+        ndev = mesh.devices.size
+        if (1 << n_shard) % ndev != 0:
+            raise ValueError(
+                f"2^n_shard={1 << n_shard} must be divisible by the mesh "
+                f"size {ndev}"
+            )
+        sizes = list(spec.block_sizes)
+        sizes[last] -= n_shard
+        spec_local = PolySpec(
+            block_sizes=tuple(sizes),
+            table_blocks=spec.table_blocks,
+            terms=spec.terms,
+        )
+        sharded_tables = []
+        has_shard = []
+        if axis is None:
+            axis = tuple(mesh.axis_names)
+        shard_spec = NamedSharding(mesh, P(axis, None))
+        repl_spec = NamedSharding(mesh, P(None, None))
+        for k, t in enumerate(tables):
+            nv = t.shape[0].bit_length() - 1
+            if last in spec.table_blocks[k] and n_shard > 0:
+                limbs = tuple(
+                    jax.device_put(
+                        l.reshape(1 << (nv - n_shard), 1 << n_shard).T,
+                        shard_spec,
+                    )
+                    for l in t.limbs
+                )
+                has_shard.append(True)
+            else:
+                limbs = tuple(
+                    jax.device_put(l.reshape(1, 1 << nv), repl_spec)
+                    for l in t.limbs
+                )
+                has_shard.append(False)
+            sharded_tables.append(FArray(limbs, t.field))
+        return cls(spec_local, sharded_tables, tuple(has_shard), n_shard, mesh)
+
+    @property
+    def field(self) -> FieldConfig:
+        return self.tables[0].field
+
+    def num_vars(self) -> int:
+        if self._local_poly is not None:
+            return self._local_poly.num_vars()
+        return self.spec.num_vars() + self.n_shard
+
+    def _gather_to_local(self) -> ProductPoly:
+        """Residual [2^s, 1] tables -> replicated local ProductPoly over the
+        s sharded variables (axis-0 bit order == internal MSB-first)."""
+        spec = PolySpec(
+            block_sizes=(self.n_shard,),
+            table_blocks=tuple(
+                (0,) if hs else () for hs in self.has_shard
+            ),
+            terms=self.spec.terms,
+        )
+        gathered = []
+        for t in self.tables:
+            ints = t.to_ints().reshape(-1)
+            gathered.append(
+                FArray.from_ints(
+                    np.array([int(v) for v in ints], dtype=object), self.field
+                )
+            )
+        return ProductPoly(spec, gathered)
+
+    def round_univariate(
+        self, r_prev: Optional[Felt]
+    ) -> Tuple[UniPoly, "ShardedBlockPoly"]:
+        if self._local_poly is not None:
+            uni, new_local = self._local_poly.round_univariate(r_prev)
+            return uni, self._copy_with(local=new_local)
+        if r_prev is None:
+            if self.spec.num_vars() == 0:
+                local = self._gather_to_local()
+                uni, new_local = local.round_univariate(None)
+                return uni, self._copy_with(local=new_local)
+            degree = self.spec.degree()
+            fn = _mb_round_jit(
+                self.spec, self.has_shard, False, degree, self.n_shard,
+                self.field,
+            )
+            sums, tables = fn(self.tables, FArray.zeros((), self.field))
+            uni = interpolate_at_small_points(sums.to_felts(), self.field)
+            return uni, self._copy_with(tables=tables)
+        if self.spec.num_vars() == 1:
+            # the fold consumes the last local variable: fold on device,
+            # gather the residue, continue replicated
+            fn = _mb_fold_jit(self.spec, len(self.tables), self.field)
+            tables = fn(self.tables, FArray.scalar(r_prev))
+            new = self._copy_with(tables=tables, spec=self.spec.after_fold())
+            local = new._gather_to_local()
+            uni, new_local = local.round_univariate(None)
+            return uni, new._copy_with(local=new_local)
+        degree = self.spec.after_fold().degree()
+        fn = _mb_round_jit(
+            self.spec, self.has_shard, True, degree, self.n_shard, self.field
+        )
+        sums, tables = fn(self.tables, FArray.scalar(r_prev))
+        uni = interpolate_at_small_points(sums.to_felts(), self.field)
+        return uni, self._copy_with(
+            tables=tables, spec=self.spec.after_fold()
+        )
+
+    def fix_variables(self, partial_point: Sequence[Felt]) -> "ShardedBlockPoly":
+        """Fold-only transition mirroring round_univariate (resume path)."""
+        new = self
+        for r in partial_point:
+            if new._local_poly is not None:
+                new = new._copy_with(local=new._local_poly.fix_variables([r]))
+                continue
+            fn = _mb_fold_jit(new.spec, len(new.tables), new.field)
+            tables = fn(new.tables, FArray.scalar(r))
+            was_last = new.spec.num_vars() == 1
+            new = new._copy_with(tables=tables, spec=new.spec.after_fold())
+            if was_last:
+                new = new._copy_with(local=new._gather_to_local())
+        return new
+
+    def sum_evaluations(self) -> Felt:
+        if self._local_poly is not None:
+            return self._local_poly.sum_evaluations()
+        fn = _mb_c1_jit(self.spec, self.has_shard, self.n_shard, self.field)
+        return fn(self.tables).item()
+
+    def evaluate(self, point: Sequence[Felt]) -> Felt:
+        """Oracle path (tests): gather everything, evaluate locally."""
+        if self._local_poly is not None:
+            return self._local_poly.evaluate(point)
+        last = len(self.spec.block_sizes) - 1
+        sizes = list(self.spec.block_sizes)
+        sizes[last] += self.n_shard
+        spec = PolySpec(
+            block_sizes=tuple(sizes),
+            table_blocks=self.spec.table_blocks,
+            terms=self.spec.terms,
+        )
+        flats = []
+        for t in self.tables:
+            ints = np.asarray(t.to_ints())  # [S, L] (or [1, L])
+            flat = ints.T.reshape(-1)  # internal order: local MSB, shard LSB
+            flats.append(
+                FArray.from_ints(
+                    np.array([int(v) for v in flat], dtype=object), self.field
+                )
+            )
+        return ProductPoly(spec, flats).evaluate(point)
+
+    def _copy_with(self, tables=None, local=None, spec=None) -> "ShardedBlockPoly":
+        new = ShardedBlockPoly(
+            spec if spec is not None else self.spec,
+            tables if tables is not None else self.tables,
+            self.has_shard,
+            self.n_shard,
+            self.mesh,
+        )
+        new._local_poly = local if local is not None else self._local_poly
+        return new

@@ -139,12 +139,28 @@ class BatchedProductPoly:
 
 
 def generate_transcripts_batch(poly: BatchedProductPoly, field: FieldConfig, dst: bytes = b""):
-    """Fiat-Shamir transcripts for all B instances, one device program per
-    round (each instance keeps its own hash chain). Byte-identical to
-    per-instance ``generate_transcript`` runs."""
+    """Fiat-Shamir transcripts for all B instances. Fast path: the fused
+    whole-proof kernel vmapped over the batch — ALL rounds of ALL B proofs
+    in ONE device dispatch (ops/fs_kernel.fs_prove_device_batch). Falls
+    back to one device program per round (each instance keeping its own
+    host hash chain) when the fused kernel does not apply. Byte-identical
+    to per-instance ``generate_transcript`` runs either way."""
     from ..fiat_shamir.hash_to_field import DefaultFieldHasher
     from ..fiat_shamir.serialize import serialize_c1_and_poly, serialize_unipoly
     from ..fiat_shamir.transcript import FiatShamirTranscript
+    from ..ops.fs_kernel import fs_prove_device_batch
+    from ..ops.round_kernel import PolySpec
+
+    n_fused = poly.num_vars()
+    spec = PolySpec(
+        block_sizes=(n_fused,),
+        table_blocks=tuple((0,) for _ in poly.tables),
+        terms=(tuple(range(len(poly.tables))),),
+    )
+    if poly._degree == len(poly.tables):
+        fused = fs_prove_device_batch(spec, poly.tables, dst)
+        if fused is not None:
+            return [FiatShamirTranscript(m) for m in fused]
 
     hasher = DefaultFieldHasher(field, dst)
     n = poly.num_vars()

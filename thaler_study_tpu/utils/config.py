@@ -37,6 +37,9 @@ class FrameworkConfig:
     # kernel selection
     use_pallas: bool = False  # opt-in; XLA path currently faster
     pallas_min_vars: int = 12
+    # GKR bookkeeping (LibraW phase tables + circuit forward pass) on device
+    # (gkr/device_tables.py) instead of the host C++ runtime
+    gkr_device_tables: bool = True
     # persistent compilation cache directory ("" disables)
     compile_cache_dir: str = ".jax_cache"
 
@@ -55,6 +58,8 @@ class FrameworkConfig:
             kw["shard_vars"] = int(os.environ["THALER_SHARD_VARS"])
         if os.environ.get("THALER_PALLAS"):
             kw["use_pallas"] = os.environ["THALER_PALLAS"] == "1"
+        if os.environ.get("THALER_GKR_DEVICE"):
+            kw["gkr_device_tables"] = os.environ["THALER_GKR_DEVICE"] == "1"
         if os.environ.get("THALER_CACHE_DIR") is not None:
             kw["compile_cache_dir"] = os.environ.get(
                 "THALER_CACHE_DIR", cls.compile_cache_dir
