@@ -94,13 +94,45 @@ def from_mont(p: int, pinv_neg: int, a):
     return mont_mul(p, pinv_neg, a, jnp.ones_like(a))
 
 
-def sum_mod(p: int, a, axis: int):
-    """Exact modular sum along ``axis`` via an unrolled pairwise tree.
+_LANE_CHUNK = 1 << 16
 
-    A plain ``jnp.sum`` would overflow uint32 lanes; instead halve the axis
-    with a modular add per step (log2(n) fused elementwise passes, ~2n adds
-    total). Odd prefixes peel one element. Shapes are static under jit.
+
+def _pinv_neg(p: int) -> int:
+    """-p^{-1} mod 2^32 (the REDC constant), from the modulus alone."""
+    return (-pow(p, -1, 1 << 32)) % (1 << 32)
+
+
+def sum_mod(p: int, a, axis: int):
+    """Exact modular sum along ``axis``.
+
+    Large axes: split residues (< p < 2^31) into two 16-bit lanes and
+    native-``jnp.sum`` each over <= 2^16-element chunks (lane sums stay
+    < 2^32), then recombine with mont_mul by constants — one fused XLA
+    reduction per lane instead of log2(n) sliced passes. Small axes keep
+    the pairwise-tree (cheaper at tiny sizes). Same exact value mod p.
     """
+    pinv_neg = _pinv_neg(p)
+    r1 = (1 << 32) % p  # mont_mul(x, R) = x mod p
+    c16 = ((1 << 16) << 32) % p  # mont_mul(x, c16) = x * 2^16 mod p
+    n = a.shape[axis]
+    if n > 64:
+        a = jnp.moveaxis(a, axis, -1)
+        mask = np.uint32(0xFFFF)
+        while a.shape[-1] > 1:
+            n = a.shape[-1]
+            chunk = min(n, _LANE_CHUNK)
+            pad = (-n) % chunk
+            if pad:
+                a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+            shaped = a.reshape(a.shape[:-1] + ((n + pad) // chunk, chunk))
+            s0 = jnp.sum(shaped & mask, axis=-1, dtype=jnp.uint32)
+            s1 = jnp.sum(shaped >> np.uint32(16), axis=-1, dtype=jnp.uint32)
+            a = add(
+                p,
+                mont_mul(p, pinv_neg, s0, jnp.full_like(s0, np.uint32(r1))),
+                mont_mul(p, pinv_neg, s1, jnp.full_like(s1, np.uint32(c16))),
+            )
+        return jnp.squeeze(jnp.moveaxis(a, -1, axis), axis=axis)
     a = jnp.moveaxis(a, axis, 0)
     while a.shape[0] > 1:
         if a.shape[0] % 2 == 1:

@@ -140,8 +140,69 @@ def mul(alo, ahi, blo, bhi):
     return _reduce128(*_mul_words(alo, ahi, blo, bhi))
 
 
+_LANE_CHUNK = 1 << 16  # 16-bit lanes summed over <= 2^16 terms stay < 2^32
+
+
+def _lane_partials(lo, hi):
+    """Split canonical (lo, hi) into four 16-bit lanes and native-sum each
+    over the last axis — ONE fused XLA reduction per lane, exact because
+    lane_max * axis_len = (2^16 - 1) * 2^16 < 2^32."""
+    mask = np.uint32(0xFFFF)
+    out = []
+    for limb in (lo, hi):
+        for s in (np.uint32(0), np.uint32(16)):
+            out.append(
+                jnp.sum((limb >> s) & mask, axis=-1, dtype=jnp.uint32)
+            )
+    return out  # [s0, s1, s2, s3] raw uint32 sums, weights 2^(16 i)
+
+
+_C48_LO = np.uint32(((1 << 48) % ((1 << 64) - (1 << 32) + 1)) & 0xFFFFFFFF)
+_C48_HI = np.uint32(((1 << 48) % ((1 << 64) - (1 << 32) + 1)) >> 32)
+
+
+def _lane_combine(s0, s1, s2, s3):
+    """sum_i s_i * 2^(16 i) mod p for raw uint32 lane sums."""
+    zero = jnp.zeros_like(s0)
+    # s0 + s1 * 2^16 < 2^32 + 2^48 < 2^49 < p: exact 64-bit add, canonical
+    t01_lo, t01_hi, _ = _add64(s0, zero, s1 << np.uint32(16), s1 >> np.uint32(16))
+    # s2 * 2^32 = (0, s2) < 2^64: one conditional subtract canonicalizes
+    t2_lo, t2_hi = _reduce_once(zero, s2)
+    # s3 * 2^48 via a full modular multiply
+    t3_lo, t3_hi = mul(s3, zero, _C48_LO, _C48_HI)
+    acc = add(t01_lo, t01_hi, t2_lo, t2_hi)
+    return add(*acc, t3_lo, t3_hi)
+
+
 def sum_mod(lo, hi, axis: int):
-    """Exact modular sum along ``axis`` via an unrolled pairwise tree."""
+    """Exact modular sum along ``axis``.
+
+    Large axes use the 16-bit-lane native-reduction path (one fused
+    jnp.sum per lane per 2^16-chunk) — the pairwise-tree fallback costs
+    ~log2(n) sliced elementwise passes, which dominated the fused round
+    kernel's HBM traffic (see benches/roofline.py). Both orders produce
+    the same exact value mod p."""
+    n = lo.shape[axis]
+    if n > 64:
+        lo = jnp.moveaxis(lo, axis, -1)
+        hi = jnp.moveaxis(hi, axis, -1)
+        while lo.shape[-1] > 1:
+            n = lo.shape[-1]
+            chunk = min(n, _LANE_CHUNK)
+            pad = (-n) % chunk
+            if pad:
+                widths = [(0, 0)] * (lo.ndim - 1) + [(0, pad)]
+                lo = jnp.pad(lo, widths)
+                hi = jnp.pad(hi, widths)
+            shape = lo.shape[:-1] + ((n + pad) // chunk, chunk)
+            s0, s1, s2, s3 = _lane_partials(
+                lo.reshape(shape), hi.reshape(shape)
+            )
+            lo, hi = _lane_combine(s0, s1, s2, s3)
+        return (
+            jnp.squeeze(jnp.moveaxis(lo, -1, axis), axis=axis),
+            jnp.squeeze(jnp.moveaxis(hi, -1, axis), axis=axis),
+        )
     lo = jnp.moveaxis(lo, axis, 0)
     hi = jnp.moveaxis(hi, axis, 0)
     while lo.shape[0] > 1:

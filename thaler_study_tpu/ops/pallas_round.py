@@ -29,6 +29,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..fields import FArray, FieldConfig
 from ..fields import backend32 as b32
@@ -98,6 +99,36 @@ def _tree_reduce(vals: Tuple, add) -> Tuple:
     return vals
 
 
+def _lane_reduce_tile(field: FieldConfig, vals: Tuple) -> Tuple:
+    """Exact modular tile reduction via 16-bit-lane native sums.
+
+    Splits each uint32 limb of the [rows, 128] tile into two 16-bit lanes,
+    ``jnp.sum``s each (rows*128 <= 2^15 elements -> lane sums < 2^31, no
+    overflow), then recombines mod p — replacing the ~13-step sliced
+    modular-add tree that made the original kernel lose to XLA."""
+    mask = np.uint32(0xFFFF)
+    s16 = np.uint32(16)
+    sums = []
+    for limb in vals:
+        # Mosaic has no unsigned reductions; lane sums are < 2^31 (lane
+        # max 0xFFFF * <=2^15 tile elements), so sum in int32 and bitcast.
+        for lane in (limb & mask, limb >> s16):
+            s = jnp.sum(lane.astype(jnp.int32), dtype=jnp.int32)
+            sums.append(s.astype(jnp.uint32).reshape(1, 1))
+    if field.backend == "goldilocks":
+        return gl._lane_combine(sums[0], sums[1], sums[2], sums[3])
+    p, pinv = field.p, field.mont_pinv_neg
+    r1 = np.uint32((1 << 32) % p)
+    c16 = np.uint32(((1 << 16) << 32) % p)
+    return (
+        b32.add(
+            p,
+            b32.mont_mul(p, pinv, sums[0], jnp.full_like(sums[0], r1)),
+            b32.mont_mul(p, pinv, sums[1], jnp.full_like(sums[1], c16)),
+        ),
+    )
+
+
 def _make_kernel(field: FieldConfig, k: int, degree: int, rows: int):
     nl, add, sub, mul = _field_ops(field)
 
@@ -148,7 +179,7 @@ def _make_kernel(field: FieldConfig, k: int, degree: int, rows: int):
             prod = views[0]
             for v in views[1:]:
                 prod = mul(prod, v)
-            tile_sums.append(_tree_reduce(prod, add))
+            tile_sums.append(_lane_reduce_tile(field, prod))
 
         @pl.when(i == 0)
         def _():
@@ -243,7 +274,12 @@ def _build_call(field: FieldConfig, k: int, degree: int, n_points: int):
         )
         return sums, tuple(folded)
 
-    return jax.jit(run)
+    return run
+
+
+@lru_cache(maxsize=None)
+def _build_call_jit(field: FieldConfig, k: int, degree: int, n_points: int):
+    return jax.jit(_build_call(field, k, degree, n_points))
 
 
 def supports(
@@ -278,5 +314,15 @@ def pallas_round_step(spec, tables: Sequence[FArray], r: FArray):
     field = tables[0].field
     k = len(tables)
     degree = spec.after_fold().degree()
-    fn = _build_call(field, k, degree, tables[0].shape[0])
+    fn = _build_call_jit(field, k, degree, tables[0].shape[0])
+    return fn(tuple(tables), r)
+
+
+def pallas_round_step_raw(spec, tables: Sequence[FArray], r: FArray):
+    """Unjitted traceable body — for embedding inside outer jitted loops
+    (a nested jit around pallas_call breaks fori_loop lowering)."""
+    field = tables[0].field
+    fn = _build_call(
+        field, len(tables), spec.after_fold().degree(), tables[0].shape[0]
+    )
     return fn(tuple(tables), r)

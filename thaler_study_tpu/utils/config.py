@@ -35,7 +35,7 @@ class FrameworkConfig:
     mesh_axis: str = "hypercube"
     shard_vars: Optional[int] = None
     # kernel selection
-    use_pallas: bool = False  # opt-in; XLA path currently faster
+    use_pallas: bool = True  # lane-reduction kernel beats XLA (~1.3x @ 2^23)
     pallas_min_vars: int = 12
     # GKR bookkeeping (LibraW phase tables + circuit forward pass) on device
     # (gkr/device_tables.py) instead of the host C++ runtime
