@@ -122,3 +122,40 @@ def test_mxu_matches_vpu_path(rng):
     c1 = modmatmul(a, b, use_mxu=False).to_ints()
     c2 = modmatmul(a, b, use_mxu=True).to_ints()
     assert (np.asarray(c1) == np.asarray(c2)).all()
+
+
+def test_batched_modmatmul_exact(rng):
+    """Batched (per-shard) VPU and MXU paths == bigint per-batch results."""
+    import jax
+
+    from thaler_study_tpu.ops.modmatmul import (
+        _mxu_modmatmul_batched_impl,
+        modmatmul_batched_impl,
+    )
+
+    for field in (F1572869, GOLDILOCKS):
+        s, m, n, k = 4, 4, 8, 32
+        a_vals = [
+            [[rng.randrange(field.p) for _ in range(k)] for _ in range(m)]
+            for _ in range(s)
+        ]
+        b_vals = [
+            [[rng.randrange(field.p) for _ in range(k)] for _ in range(n)]
+            for _ in range(s)
+        ]
+        a = FArray.from_ints(np.array(a_vals, dtype=object), field)
+        b = FArray.from_ints(np.array(b_vals, dtype=object), field)
+        vpu = jax.jit(modmatmul_batched_impl)(a, b).to_ints()
+        mxu = jax.jit(_mxu_modmatmul_batched_impl)(a, b).to_ints()
+        for bi in range(s):
+            for i in range(0, m, 2):
+                for j in range(0, n, 3):
+                    want = (
+                        sum(
+                            a_vals[bi][i][t] * b_vals[bi][j][t]
+                            for t in range(k)
+                        )
+                        % field.p
+                    )
+                    assert int(vpu[bi][i][j]) == want, (field.name, bi, i, j)
+                    assert int(mxu[bi][i][j]) == want, (field.name, bi, i, j)

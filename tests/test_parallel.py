@@ -235,3 +235,62 @@ def test_sharded_block_fix_variables_matches_local(rng):
     lu, _ = lp.round_univariate(None)
     su, _ = sp.round_univariate(None)
     assert lu == su
+
+
+def test_triangle_sharded_contraction_transcript(rng, monkeypatch):
+    """ROADMAP r2 #3: with the contraction threshold forced low, the sharded
+    triangle X-phase runs the per-shard batched modmatmul + all-reduce path
+    and the FS transcript stays byte-identical to the local prover (which
+    itself is anchored to 6*#triangles by sum_evaluations)."""
+    import numpy as np
+
+    from thaler_study_tpu.ops import round_kernel
+    from thaler_study_tpu.parallel import ShardedBlockPoly
+    from thaler_study_tpu.parallel import sharded as sharded_mod
+    from thaler_study_tpu.protocols import TriangleG
+
+    field = GOLDILOCKS
+    n = 16  # 4 vars/block, 12 total
+    adj = [[False] * n for _ in range(n)]
+    for x in range(n):
+        for y in range(x + 1, n):
+            v = rng.random() < 0.5
+            adj[x][y] = adj[y][x] = v
+    flat = [x for row in adj for x in row]
+
+    for cache in (
+        round_kernel._round_step_jit,
+        round_kernel._sum_products_jit,
+        sharded_mod._mb_round_jit,
+        sharded_mod._mb_c1_jit,
+    ):
+        cache.cache_clear()
+    monkeypatch.setattr(round_kernel, "_CONTRACT_THRESHOLD", 8)
+
+    g = TriangleG.new_adj_matrix(8, flat, field)
+    a_np = np.array(adj, dtype=np.int64)
+    tri6 = int(np.trace(a_np @ a_np @ a_np))
+    assert g.sum_evaluations().v == tri6 % field.p
+
+    mesh = make_mesh()
+    sharded = ShardedBlockPoly.from_internal_tables(
+        g.spec, g.tables, mesh, n_shard=3
+    )
+    t_local = generate_transcript(
+        SumcheckInteractiveProver(
+            Prover(TriangleG.new_adj_matrix(8, flat, field))
+        ),
+        field,
+    )
+    t_sharded = generate_transcript(
+        SumcheckInteractiveProver(Prover(sharded)), field
+    )
+    assert t_local.to_bytes() == t_sharded.to_bytes()
+
+    for cache in (
+        round_kernel._round_step_jit,
+        round_kernel._sum_products_jit,
+        sharded_mod._mb_round_jit,
+        sharded_mod._mb_c1_jit,
+    ):
+        cache.cache_clear()

@@ -221,3 +221,103 @@ def _mxu_modmatmul_impl(a: FArray, b: FArray) -> FArray:
 @lru_cache(maxsize=None)
 def _mxu_modmatmul_jit(m: int, n: int, k: int, field: FieldConfig):
     return jax.jit(_mxu_modmatmul_impl)
+
+
+# ---------------------------------------------------------------------------
+# Batched (per-shard) variants: C[s] = A[s] @ B[s]^T mod p for
+# A: [S, M, K], B: [S, N, K]. Used by the sharded triangle X-phase
+# (parallel/sharded.py): axis 0 is the mesh-sharded hypercube axis, so under
+# GSPMD every device contracts only its own shard and the later axis-0
+# reduction of the round sums is the only communication.
+# ---------------------------------------------------------------------------
+
+
+def modmatmul_batched_impl(a: FArray, b: FArray) -> FArray:
+    """Traceable batched chunked-VPU path: [S,M,K] x [S,N,K] -> [S,M,N]."""
+    field = a.field
+    s, m, k = a.shape
+    _, n, _ = b.shape
+    cs = _pick_chunk(s * m, n, k, field.num_limbs)
+    nc = k // cs
+    acc = FArray.zeros((s, m, n), field)
+
+    def body(i, acc):
+        a_sl = FArray(
+            tuple(
+                jax.lax.dynamic_slice(l, (0, 0, i * cs), (s, m, cs))
+                for l in a.limbs
+            ),
+            field,
+        )
+        b_sl = FArray(
+            tuple(
+                jax.lax.dynamic_slice(l, (0, 0, i * cs), (s, n, cs))
+                for l in b.limbs
+            ),
+            field,
+        )
+        prod = a_sl.reshape(s, m, 1, cs) * b_sl.reshape(s, 1, n, cs)
+        return acc + prod.sum(axis=3)
+
+    if nc == 1:
+        return body(0, acc)
+    return jax.lax.fori_loop(0, nc, body, acc)
+
+
+def _mxu_modmatmul_batched_impl(a: FArray, b: FArray) -> FArray:
+    """Batched MXU path: one batched int8 dot_general per K-chunk computes
+    every digit-pair grid for every shard row at once."""
+    field = a.field
+    bs, m, k = a.shape
+    n = b.shape[1]
+    d = _num_digits(field)
+    cs = min(k, _MXU_CHUNK)
+    nc = k // cs
+    assert nc * cs == k
+
+    weights = {s: pow(256, s, field.p) for s in range(2 * d - 1)}
+    acc = FArray.zeros((bs, m, n), field)
+    for c in range(nc):
+        a_sl = FArray(
+            tuple(l[:, :, c * cs : (c + 1) * cs] for l in a.limbs), field
+        )
+        b_sl = FArray(
+            tuple(l[:, :, c * cs : (c + 1) * cs] for l in b.limbs), field
+        )
+        # [D, S, M, cs] -> [S, D*M, cs]
+        da = jnp.moveaxis(_to_digits(a_sl), 0, 1).reshape(bs, d * m, cs)
+        db = jnp.moveaxis(_to_digits(b_sl), 0, 1).reshape(bs, d * n, cs)
+        big = jax.lax.dot_general(
+            da,
+            db,
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).reshape(bs, d, m, d, n)
+        if d * cs * (1 << 14) < (1 << 31):
+            for s in range(2 * d - 1):
+                diag = None
+                for i in range(max(0, s - d + 1), min(d, s + 1)):
+                    term = big[:, i, :, s - i, :]
+                    diag = term if diag is None else diag + term
+                acc = acc + _weighted_lift(field, diag, weights[s])
+        else:
+            for i in range(d):
+                for j in range(d):
+                    acc = acc + _weighted_lift(
+                        field, big[:, i, :, j, :], weights[i + j]
+                    )
+    if field.backend == "mont32":
+        from ..fields import backend32 as b32
+
+        acc = FArray(
+            (
+                b32.mont_mul(
+                    field.p,
+                    field.mont_pinv_neg,
+                    acc.limbs[0],
+                    jnp.ones_like(acc.limbs[0]),
+                ),
+            ),
+            field,
+        )
+    return acc

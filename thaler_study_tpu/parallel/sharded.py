@@ -427,6 +427,68 @@ def _mb_fold(spec: PolySpec, tables: Sequence[FArray], r: FArray):
     return tuple(out)
 
 
+def _mb_term_total(
+    spec: PolySpec,
+    has_shard: Tuple[bool, ...],
+    term: Tuple[int, ...],
+    views: Sequence[FArray],
+) -> FArray:
+    """Sum a term's product over its covered variables (incl. the sharded
+    axis 0, whose pairwise tree GSPMD turns into the round-sum all-reduce).
+
+    Mirrors ops.round_kernel._term_total: the 3-block triangle pattern —
+    f1(X,Y) * f2(Y,Z) * f3(X,Z) with the sharded variables (if any) in the
+    contracted Z block — contracts per shard row above _CONTRACT_THRESHOLD,
+    s = sum_{x,y} f1[x,y] * sum_shard (f3_s @ f2_s^T)[x,y], via the batched
+    modular matmul (MXU digit path at >=2^24 grids) instead of materializing
+    the O(|X||Y||Z|) broadcast grid on every device.
+    """
+    from ..ops.round_kernel import _CONTRACT_THRESHOLD
+
+    tbs = [spec.table_blocks[k] for k in term]
+    if len(term) == 3 and sorted(len(tb) for tb in tbs) == [2, 2, 2]:
+        blocks = sorted(set().union(*map(set, tbs)))
+        if len(blocks) == 3:
+            x_b, y_b, z_b = blocks
+            by_cover = {frozenset(tb): k for tb, k in zip(tbs, term)}
+            k1 = by_cover.get(frozenset((x_b, y_b)))
+            k2 = by_cover.get(frozenset((y_b, z_b)))
+            k3 = by_cover.get(frozenset((x_b, z_b)))
+            if (
+                None not in (k1, k2, k3)
+                and not has_shard[k1]  # shard vars must live in Z only
+                and has_shard[k2] == has_shard[k3]
+            ):
+                f1, f2, f3 = views[k1], views[k2], views[k3]
+                dx, dy = f1.shape[1 + x_b], f1.shape[1 + y_b]
+                dz = f2.shape[1 + z_b]
+                s_axis = max(f2.shape[0], f3.shape[0])
+                if dx * dy * dz * s_axis > _CONTRACT_THRESHOLD:
+                    from ..ops.modmatmul import (
+                        _mxu_modmatmul_batched_impl,
+                        modmatmul_batched_impl,
+                    )
+
+                    f2b = f2.reshape(f2.shape[0], dy, dz)
+                    f3b = f3.reshape(f3.shape[0], dx, dz)
+                    if dx * dy * dz * s_axis >= (1 << 24):
+                        m = _mxu_modmatmul_batched_impl(f3b, f2b)
+                    else:
+                        m = modmatmul_batched_impl(f3b, f2b)
+                    prod = f1.reshape(1, dx, dy) * m  # [S, X, Y]
+                    prod = prod.sum(axis=2).sum(axis=1)
+                    return prod.sum(axis=0)
+
+    prod = views[term[0]]
+    for k in term[1:]:
+        prod = prod * views[k]
+    # reduce local axes first; the sharded axis 0 last (its pairwise
+    # tree becomes the GSPMD all-reduce of the round sums)
+    while prod.ndim > 1:
+        prod = prod.sum(axis=prod.ndim - 1)
+    return prod.sum(axis=0)
+
+
 def _mb_sums(
     spec: PolySpec,
     has_shard: Tuple[bool, ...],
@@ -471,14 +533,7 @@ def _mb_sums(
             nvars = sum(spec.block_sizes[b] for b in blocks) + (
                 s if covered_shard else 0
             )
-            prod = views[term[0]]
-            for k in term[1:]:
-                prod = prod * views[k]
-            # reduce local axes first; the sharded axis 0 last (its pairwise
-            # tree becomes the GSPMD all-reduce of the round sums)
-            while prod.ndim > 1:
-                prod = prod.sum(axis=prod.ndim - 1)
-            total = prod.sum(axis=0)
+            total = _mb_term_total(spec, has_shard, term, views)
             missing = total_vars - 1 - (nvars - 1 if 0 in blocks else nvars)
             if missing:
                 total = total * _pow2_scalar(field, missing)
@@ -537,15 +592,15 @@ def _mb_c1_jit(
             nvars = sum(spec.block_sizes[b] for b in blocks) + (
                 s if covered_shard else 0
             )
-            prod = None
-            for k in term:
-                v = tables[k].reshape(
+            views = [
+                tables[k].reshape(
                     _mb_dims(spec, k, tables[k].shape[0], halve_block0=False)
                 )
-                prod = v if prod is None else prod * v
-            while prod.ndim > 1:
-                prod = prod.sum(axis=prod.ndim - 1)
-            total = prod.sum(axis=0)
+                if k in term
+                else None
+                for k in range(len(tables))
+            ]
+            total = _mb_term_total(spec, has_shard, term, views)
             if total_vars - nvars:
                 total = total * _pow2_scalar(tables[0].field, total_vars - nvars)
             acc = total if acc is None else acc + total
