@@ -1,0 +1,139 @@
+"""Fused device GKR proving (gkr/fused.py) vs the host message loop.
+
+The fused prover runs each layer's whole inner sumcheck — LibraW table
+builds, folds, round sums, serialization, and the Fiat-Shamir challenge
+chain — in two device dispatches, with the SHA-256 midstate carried as
+traced state. Its output must be byte-identical to
+``generate_gkr_transcript`` (the per-message host loop over the same
+challenge schedule) and must verify through the unmodified interactive
+verifier. Non-goldilocks fields and 1-variable layers take the exact host
+fallback, which must also be byte-identical (trivially — it IS the host
+path) and verified here so the dispatch logic stays honest.
+"""
+
+import random
+
+import pytest
+
+from thaler_study_tpu.fields import F389, GOLDILOCKS
+from thaler_study_tpu.gkr import (
+    Circuit,
+    CircuitLayer,
+    Gate,
+    GateType,
+    Prover,
+    Verifier,
+    circuit_from_book,
+)
+from thaler_study_tpu.gkr.fused import (
+    generate_gkr_transcript_fused,
+    supports_fused_gkr,
+)
+from thaler_study_tpu.gkr.transcript import (
+    generate_gkr_transcript,
+    verify_gkr_transcript,
+)
+
+
+def _random_circuit(depth, width_log, num_inputs_log, rng):
+    layers = []
+    sizes = [1 << width_log for _ in range(depth)] + [1 << num_inputs_log]
+    for li in range(depth):
+        next_size = sizes[li + 1]
+        gates = [
+            Gate(
+                GateType.MUL if rng.random() < 0.5 else GateType.ADD,
+                (rng.randrange(next_size), rng.randrange(next_size)),
+            )
+            for _ in range(sizes[li])
+        ]
+        layers.append(CircuitLayer(gates))
+    return Circuit(layers, 1 << num_inputs_log)
+
+
+def _inputs(n, field, rng):
+    return field.felts([rng.randrange(1, field.p) for _ in range(n)])
+
+
+@pytest.mark.parametrize("depth,width_log,inputs_log", [(2, 2, 2), (3, 3, 3)])
+def test_fused_matches_host_transcript(depth, width_log, inputs_log):
+    rng = random.Random(depth * 100 + width_log)
+    circuit = _random_circuit(depth, width_log, inputs_log, rng)
+    inputs = _inputs(1 << inputs_log, GOLDILOCKS, rng)
+    assert supports_fused_gkr(circuit, GOLDILOCKS, b"")
+
+    t_host = generate_gkr_transcript(
+        Prover(circuit, inputs, GOLDILOCKS), GOLDILOCKS
+    )
+    t_fused = generate_gkr_transcript_fused(
+        Prover(circuit, inputs, GOLDILOCKS), GOLDILOCKS
+    )
+    assert len(t_host.g) == len(t_fused.g)
+    for i, (a, b) in enumerate(zip(t_host.g, t_fused.g)):
+        assert a == b, f"message {i} differs"
+
+    assert verify_gkr_transcript(
+        t_fused, Verifier(circuit, GOLDILOCKS), inputs, GOLDILOCKS
+    )
+
+
+def test_fused_mixed_layer_sizes():
+    """Layers of different widths compile distinct programs per shape but
+    share one chain; transcript still byte-identical."""
+    rng = random.Random(11)
+    sizes = [2, 3, 2]  # k_i: 4-gate, 8-gate, 4-gate layers over 2^2 inputs
+    layers = []
+    all_sizes = [1 << s for s in sizes] + [4]
+    for li in range(len(sizes)):
+        next_size = all_sizes[li + 1]
+        gates = [
+            Gate(
+                GateType.MUL if rng.random() < 0.5 else GateType.ADD,
+                (rng.randrange(next_size), rng.randrange(next_size)),
+            )
+            for _ in range(all_sizes[li])
+        ]
+        layers.append(CircuitLayer(gates))
+    circuit = Circuit(layers, 4)
+    inputs = _inputs(4, GOLDILOCKS, rng)
+
+    t_host = generate_gkr_transcript(
+        Prover(circuit, inputs, GOLDILOCKS), GOLDILOCKS
+    )
+    t_fused = generate_gkr_transcript_fused(
+        Prover(circuit, inputs, GOLDILOCKS), GOLDILOCKS
+    )
+    assert list(t_host.g) == list(t_fused.g)
+
+
+def test_fused_fallback_non_goldilocks():
+    """mont32 fields are out of fused scope -> exact host fallback."""
+    circuit = circuit_from_book()
+    inputs = F389.felts([3, 2, 3, 1])
+    assert not supports_fused_gkr(circuit, F389, b"")
+    t = generate_gkr_transcript_fused(Prover(circuit, inputs, F389), F389)
+    t_host = generate_gkr_transcript(Prover(circuit, inputs, F389), F389)
+    assert list(t.g) == list(t_host.g)
+
+
+def test_fused_fallback_small_layer():
+    """A k=1 next layer (2 inputs) is below fused scope -> host fallback."""
+    rng = random.Random(3)
+    layers = [
+        CircuitLayer(
+            [
+                Gate(GateType.ADD, (0, 1)),
+                Gate(GateType.MUL, (0, 1)),
+            ]
+        )
+    ]
+    circuit = Circuit(layers, 2)
+    inputs = _inputs(2, GOLDILOCKS, rng)
+    assert not supports_fused_gkr(circuit, GOLDILOCKS, b"")
+    t = generate_gkr_transcript_fused(
+        Prover(circuit, inputs, GOLDILOCKS), GOLDILOCKS
+    )
+    t_host = generate_gkr_transcript(
+        Prover(circuit, inputs, GOLDILOCKS), GOLDILOCKS
+    )
+    assert list(t.g) == list(t_host.g)

@@ -112,34 +112,61 @@ def dot_mod(a: FArray, b: FArray) -> FArray:
 # ---------------------------------------------------------------------------
 
 
+def phase1_tables(r_i, w_lsb, b_idx, c_idx, is_mul, k_cur: int, k: int):
+    """Traceable LibraW phase-1 build:
+    (r_i [k_cur], w_lsb [2^k], wiring) -> (a1_lsb, a2_lsb, eq_r [2^k_cur])."""
+    eq_r = eq_table_dev(r_i, k_cur)
+    g = b_idx.shape[0]
+    eq_r_g = eq_r[:g] if eq_r.shape[0] != g else eq_r
+    w_at_c = gather(w_lsb, c_idx)
+    eqr_w = eq_r_g * w_at_c
+    # A1: add gates contribute eq_r, mul gates eq_r * W(c)
+    mask = is_mul
+    vals_a1 = FArray(
+        tuple(
+            jnp.where(mask, mw, aw)
+            for mw, aw in zip(eqr_w.limbs, eq_r_g.limbs)
+        ),
+        w_lsb.field,
+    )
+    # A2: add gates contribute eq_r * W(c), mul gates nothing
+    vals_a2 = FArray(
+        tuple(jnp.where(mask, jnp.zeros_like(l), l) for l in eqr_w.limbs),
+        w_lsb.field,
+    )
+    a1 = scatter_add_mod(b_idx, vals_a1, 1 << k)
+    a2 = scatter_add_mod(b_idx, vals_a2, 1 << k)
+    return a1, a2, eq_r
+
+
+def phase2_tables(u, w_lsb, eq_r, b_idx, c_idx, is_mul, k: int):
+    """Traceable LibraW phase-2 build:
+    (u [k], w_lsb [2^k], eq_r, wiring) -> (b1_lsb, b2_lsb, w_u [1])."""
+    eq_u = eq_table_dev(u, k)
+    g = b_idx.shape[0]
+    eq_r_g = eq_r[:g] if eq_r.shape[0] != g else eq_r
+    t = eq_r_g * gather(eq_u, b_idx)
+    vals_b1 = FArray(
+        tuple(jnp.where(is_mul, jnp.zeros_like(l), l) for l in t.limbs),
+        w_lsb.field,
+    )
+    vals_b2 = FArray(
+        tuple(jnp.where(is_mul, l, jnp.zeros_like(l)) for l in t.limbs),
+        w_lsb.field,
+    )
+    b1 = scatter_add_mod(c_idx, vals_b1, 1 << k)
+    b2 = scatter_add_mod(c_idx, vals_b2, 1 << k)
+    w_u = dot_mod(w_lsb, eq_u).reshape((1,))
+    return b1, b2, w_u
+
+
 @lru_cache(maxsize=None)
 def _phase1_jit(k_cur: int, k: int, field: FieldConfig):
     """(r_i [k_cur], w_lsb [2^k], b_idx, c_idx, is_mul) ->
     (a1_lsb, a2_lsb, eq_r [2^k_cur])."""
 
     def impl(r_i, w_lsb, b_idx, c_idx, is_mul):
-        eq_r = eq_table_dev(r_i, k_cur)
-        g = b_idx.shape[0]
-        eq_r_g = eq_r[:g] if eq_r.shape[0] != g else eq_r
-        w_at_c = gather(w_lsb, c_idx)
-        eqr_w = eq_r_g * w_at_c
-        # A1: add gates contribute eq_r, mul gates eq_r * W(c)
-        mask = is_mul
-        vals_a1 = FArray(
-            tuple(
-                jnp.where(mask, mw, aw)
-                for mw, aw in zip(eqr_w.limbs, eq_r_g.limbs)
-            ),
-            w_lsb.field,
-        )
-        # A2: add gates contribute eq_r * W(c), mul gates nothing
-        vals_a2 = FArray(
-            tuple(jnp.where(mask, jnp.zeros_like(l), l) for l in eqr_w.limbs),
-            w_lsb.field,
-        )
-        a1 = scatter_add_mod(b_idx, vals_a1, 1 << k)
-        a2 = scatter_add_mod(b_idx, vals_a2, 1 << k)
-        return a1, a2, eq_r
+        return phase1_tables(r_i, w_lsb, b_idx, c_idx, is_mul, k_cur, k)
 
     return jax.jit(impl)
 
@@ -150,22 +177,7 @@ def _phase2_jit(k: int, field: FieldConfig):
     (b1_lsb, b2_lsb, w_u [1])."""
 
     def impl(u, w_lsb, eq_r, b_idx, c_idx, is_mul):
-        eq_u = eq_table_dev(u, k)
-        g = b_idx.shape[0]
-        eq_r_g = eq_r[:g] if eq_r.shape[0] != g else eq_r
-        t = eq_r_g * gather(eq_u, b_idx)
-        vals_b1 = FArray(
-            tuple(jnp.where(is_mul, jnp.zeros_like(l), l) for l in t.limbs),
-            w_lsb.field,
-        )
-        vals_b2 = FArray(
-            tuple(jnp.where(is_mul, l, jnp.zeros_like(l)) for l in t.limbs),
-            w_lsb.field,
-        )
-        b1 = scatter_add_mod(c_idx, vals_b1, 1 << k)
-        b2 = scatter_add_mod(c_idx, vals_b2, 1 << k)
-        w_u = dot_mod(w_lsb, eq_u).reshape((1,))
-        return b1, b2, w_u
+        return phase2_tables(u, w_lsb, eq_r, b_idx, c_idx, is_mul, k)
 
     return jax.jit(impl)
 

@@ -1,0 +1,403 @@
+"""Fused non-interactive GKR proving — two device dispatches per layer.
+
+The message-passing prover (gkr/transcript.py::generate_gkr_transcript)
+pays one host round-trip per inner sumcheck round: ~2k rounds x 16 layers =
+640 synchronous tunnel crossings at 2^24 gates (BENCHMARKS.md config 5 —
+~57 ms each, vs ~ms of device work). This module proves each layer's whole
+inner sumcheck on device:
+
+- **dispatch A** (phase 1, rounds 0..k-1): LibraW A1/A2 table build
+  (gkr/device_tables.py), the layer claim c_1, k fused fold+sum rounds,
+  arkworks-canonical serialization, and the Fiat-Shamir challenge chain —
+  all inside one program. The SHA-256 midstate rides along as traced state
+  (ops/sha_chain.py), so one compiled program serves EVERY layer despite
+  their different transcript offsets.
+- **dispatch B** (phase 2, rounds k..2k-1): B1/B2 build from phase-1
+  challenges u, k-1 fused rounds, the count-2 draw (r_{2k-2}, r_last — ref
+  challenge schedule in gkr/transcript.py), the FinalRoundMessage (last
+  round polynomial p plus the line restriction q = W~(l(t)) interpolated
+  from k+1 on-device MLE evaluations), the r* draw, and the next layer's
+  point r_{i+1} = l(r*).
+
+Nothing blocks on the host between layers: chain state, challenges, and
+r_{i+1} flow device-to-device, so the 2L dispatches pipeline through the
+remote tunnel and ONE final pull retrieves every coefficient, from which the
+host reassembles the byte transcript. Output is byte-identical to
+generate_gkr_transcript (asserted in tests/test_gkr_fused.py).
+
+Like ops/fs_kernel.py, static message shapes assume every serialized
+coefficient is nonzero (arkworks drops zero terms); violations are detected
+on device and the caller falls back to the exact host path.
+
+Scope: goldilocks, empty DST, every layer with k >= 2 variables.
+"""
+
+from __future__ import annotations
+
+import struct
+from functools import lru_cache
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import FArray, FieldConfig
+from ..ops.fs_kernel import _felt_bytes_le, _interp_coeffs
+from ..ops.round_kernel import PolySpec, _fold_tables, _round_sums
+from ..ops.sha_chain import DevChain, default_unroll, hash_to_field_chain
+from .device_tables import (
+    dot_mod,
+    eq_table_dev,
+    lsb_to_msb,
+    phase1_tables,
+    phase2_tables,
+)
+
+U8 = jnp.uint8
+U32 = jnp.uint32
+
+
+def _np_bytes(raw: bytes) -> jnp.ndarray:
+    return jnp.asarray(np.frombuffer(raw, dtype=np.uint8))
+
+
+def _le8_from_u32(x) -> jnp.ndarray:
+    """Traced uint32 scalar -> 8 little-endian bytes (usize-as-u64)."""
+    lo = [((x >> U32(8 * i)) & U32(0xFF)).astype(U8) for i in range(4)]
+    return jnp.stack(lo + [jnp.zeros((), U8)] * 4)
+
+
+def _msg_sumcheck(coeffs) -> jnp.ndarray:
+    """SumCheckProverMessage bytes: tag 0x02 + SparsePolynomial (all terms
+    nonzero; see module docstring)."""
+    parts = [
+        _np_bytes(bytes([2])),
+        _np_bytes(struct.pack("<Q", len(coeffs))),
+    ]
+    for t, (lo, hi) in enumerate(coeffs):
+        parts.append(_np_bytes(struct.pack("<Q", t)))
+        parts.append(_felt_bytes_le(lo, hi))
+    return jnp.concatenate(parts)
+
+
+def _poly_bytes(coeffs) -> List[jnp.ndarray]:
+    parts = [_np_bytes(struct.pack("<Q", len(coeffs)))]
+    for t, (lo, hi) in enumerate(coeffs):
+        parts.append(_np_bytes(struct.pack("<Q", t)))
+        parts.append(_felt_bytes_le(lo, hi))
+    return parts
+
+
+def _track_zero(any_zero, coeffs):
+    for lo, hi in coeffs:
+        any_zero = any_zero | ((lo == U32(0)) & (hi == U32(0)))
+    return any_zero
+
+
+def _phase1_spec(k: int) -> PolySpec:
+    return PolySpec(
+        block_sizes=(k,), table_blocks=((0,), (0,), (0,)), terms=((0, 1), (2,))
+    )
+
+
+def _phase2_spec(k: int) -> PolySpec:
+    return PolySpec(
+        block_sizes=(k,),
+        table_blocks=((0,), (0,), (0,), ()),
+        terms=((0, 3), (0, 2), (1, 3, 2)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dispatch A: phase-1 build + rounds 0..k-1
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _layer_phase1_jit(k_cur: int, k: int, g: int, field: FieldConfig):
+    unroll = default_unroll()
+
+    def impl(state, buf, nbytes, layer_idx, r_i, w_lsb, b_idx, c_idx, is_mul):
+        chain = DevChain(state, buf, nbytes, unroll)
+        a1_lsb, a2_lsb, eq_r = phase1_tables(
+            r_i, w_lsb, b_idx, c_idx, is_mul, k_cur, k
+        )
+        tables = (lsb_to_msb(w_lsb, k), lsb_to_msb(a1_lsb, k), lsb_to_msb(a2_lsb, k))
+        spec = _phase1_spec(k)
+        # the layer claim (StartSumCheck.c_1): sum_b W(b) A1(b) + A2(b)
+        c1 = (tables[0] * tables[1]).sum(axis=0) + tables[2].sum(axis=0)
+        start_msg = jnp.concatenate(
+            [
+                _np_bytes(bytes([1])),
+                _felt_bytes_le(c1.limbs[0], c1.limbs[1]),
+                _le8_from_u32(layer_idx),
+                _np_bytes(struct.pack("<Q", 2 * k)),
+            ]
+        )
+        chain = chain.absorb(start_msg)
+        any_zero = jnp.asarray(False)
+        coeff_rows = []
+        u_scalars = []
+        r = None
+        for j in range(k):
+            if r is not None:
+                tables = _fold_tables(spec, tables, r)
+                spec = spec.after_fold()
+            sums = _round_sums(spec, tables, 2)
+            coeffs = _interp_coeffs(sums, 2)
+            any_zero = _track_zero(any_zero, coeffs)
+            coeff_rows.append(coeffs)
+            chain = chain.absorb(_msg_sumcheck(coeffs))
+            ((rlo, rhi),) = hash_to_field_chain(chain, field, 1)
+            u_scalars.append((rlo, rhi))
+            r = FArray((rlo, rhi), field)
+        u = FArray(
+            (
+                jnp.stack([s[0] for s in u_scalars]),
+                jnp.stack([s[1] for s in u_scalars]),
+            ),
+            field,
+        )
+        coeff_lo = jnp.stack([jnp.stack([c[0] for c in row]) for row in coeff_rows])
+        coeff_hi = jnp.stack([jnp.stack([c[1] for c in row]) for row in coeff_rows])
+        return (
+            chain.state,
+            chain.buf,
+            chain.nbytes,
+            jnp.stack(c1.limbs),
+            coeff_lo,
+            coeff_hi,
+            u,
+            eq_r,
+            any_zero,
+        )
+
+    return jax.jit(impl)
+
+
+# ---------------------------------------------------------------------------
+# dispatch B: phase-2 build + rounds k..2k-1 + final message + r*
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _layer_phase2_jit(k: int, g: int, field: FieldConfig):
+    unroll = default_unroll()
+
+    def impl(state, buf, nbytes, u, w_lsb, eq_r, b_idx, c_idx, is_mul):
+        chain = DevChain(state, buf, nbytes, unroll)
+        b1_lsb, b2_lsb, w_u = phase2_tables(
+            u, w_lsb, eq_r, b_idx, c_idx, is_mul, k
+        )
+        tables = (
+            lsb_to_msb(b1_lsb, k),
+            lsb_to_msb(b2_lsb, k),
+            lsb_to_msb(w_lsb, k),
+            w_u,
+        )
+        spec = _phase2_spec(k)
+        any_zero = jnp.asarray(False)
+        coeff_rows = []
+        c_scalars = []
+        r = None
+        # rounds k .. 2k-2: the k-1 inner messages of phase 2
+        for j in range(k - 1):
+            if r is not None:
+                tables = _fold_tables(spec, tables, r)
+                spec = spec.after_fold()
+            sums = _round_sums(spec, tables, 2)
+            coeffs = _interp_coeffs(sums, 2)
+            any_zero = _track_zero(any_zero, coeffs)
+            coeff_rows.append(coeffs)
+            chain = chain.absorb(_msg_sumcheck(coeffs))
+            if j < k - 2:
+                ((rlo, rhi),) = hash_to_field_chain(chain, field, 1)
+            else:
+                # second-to-last message overall: draw r_{2k-2} AND r_last
+                (rlo, rhi), (llo, lhi) = hash_to_field_chain(chain, field, 2)
+                c_last = (llo, lhi)
+            c_scalars.append((rlo, rhi))
+            r = FArray((rlo, rhi), field)
+        c_scalars.append(c_last)
+        # final round polynomial p: fold r_{2k-2}, one variable remains
+        tables = _fold_tables(spec, tables, r)
+        spec = spec.after_fold()
+        sums = _round_sums(spec, tables, 2)
+        p_coeffs = _interp_coeffs(sums, 2)
+        any_zero = _track_zero(any_zero, p_coeffs)
+        # q = W~ restricted to the line through b=u, c (ref restrict_poly):
+        # evaluate at t = 0..k on device, interpolate exactly
+        c_arr = FArray(
+            (
+                jnp.stack([s[0] for s in c_scalars]),
+                jnp.stack([s[1] for s in c_scalars]),
+            ),
+            field,
+        )
+        delta = c_arr - u
+        evals = []
+        for t in range(k + 1):
+            t_s = FArray.from_ints([t], field).reshape(())
+            point = u + delta * t_s
+            evals.append(dot_mod(w_lsb, eq_table_dev(point, k)))
+        q_vals = FArray(
+            tuple(
+                jnp.stack([e.limbs[i] for e in evals])
+                for i in range(len(evals[0].limbs))
+            ),
+            field,
+        )
+        q_coeffs = _interp_coeffs(q_vals, k)
+        any_zero = _track_zero(any_zero, q_coeffs)
+        final_msg = jnp.concatenate(
+            [_np_bytes(bytes([3]))]
+            + _poly_bytes(p_coeffs)
+            + _poly_bytes(q_coeffs)
+        )
+        chain = chain.absorb(final_msg)
+        ((slo, shi),) = hash_to_field_chain(chain, field, 1)
+        r_star = FArray((slo, shi), field)
+        r_next = u + delta * r_star
+        coeff_lo = jnp.stack([jnp.stack([c[0] for c in row]) for row in coeff_rows])
+        coeff_hi = jnp.stack([jnp.stack([c[1] for c in row]) for row in coeff_rows])
+        p_lo = jnp.stack([c[0] for c in p_coeffs])
+        p_hi = jnp.stack([c[1] for c in p_coeffs])
+        q_lo = jnp.stack([c[0] for c in q_coeffs])
+        q_hi = jnp.stack([c[1] for c in q_coeffs])
+        return (
+            chain.state,
+            chain.buf,
+            chain.nbytes,
+            coeff_lo,
+            coeff_hi,
+            p_lo,
+            p_hi,
+            q_lo,
+            q_hi,
+            r_next,
+            any_zero,
+        )
+
+    return jax.jit(impl)
+
+
+# ---------------------------------------------------------------------------
+# host driver
+# ---------------------------------------------------------------------------
+
+
+def _felt_bytes_host(lo: int, hi: int) -> bytes:
+    return (int(lo) | (int(hi) << 32)).to_bytes(8, "little")
+
+
+def _poly_bytes_host(lo_row, hi_row) -> bytes:
+    out = [struct.pack("<Q", len(lo_row))]
+    for t in range(len(lo_row)):
+        out.append(struct.pack("<Q", t))
+        out.append(_felt_bytes_host(lo_row[t], hi_row[t]))
+    return b"".join(out)
+
+
+def supports_fused_gkr(circuit, field: FieldConfig, dst: bytes) -> bool:
+    if dst != b"" or field.backend != "goldilocks":
+        return False
+    return all(
+        circuit.num_vars_at(i + 1) >= 2 for i in range(len(circuit.layers))
+    )
+
+
+def generate_gkr_transcript_fused(prover, field: FieldConfig, dst: bytes = b""):
+    """Drop-in for generate_gkr_transcript: fused device proving with exact
+    host fallback (unsupported configs, or a zero serialized coefficient).
+
+    ``prover`` is a fresh gkr.Prover. The fused path only uses its circuit
+    and forward-pass values; on fallback the prover runs the host protocol.
+    """
+    from .transcript import GKRTranscript, generate_gkr_transcript
+
+    circuit = prover.circuit
+    if not supports_fused_gkr(circuit, field, dst):
+        return generate_gkr_transcript(prover, field, dst)
+    msgs = _prove_fused(prover, field)
+    if msgs is None:  # zero-coefficient fallback (probability ~ rounds/p)
+        return generate_gkr_transcript(prover, field, dst)
+    return GKRTranscript(msgs)
+
+
+def _prove_fused(prover, field: FieldConfig) -> Optional[List[bytes]]:
+    from ..runtime import sha256_midstate
+    from ..fiat_shamir.hash_to_field import DefaultFieldHasher
+    from .transcript import serialize_gkr_message
+    from .protocol import Begin
+
+    circuit = prover.circuit
+    num_layers = len(circuit.layers)
+    # forward-pass values on device, label (lsb) order
+    if prover.device_forward:
+        layers_dev = prover.layers_dev
+    else:
+        layers_dev = [
+            FArray.from_ints(np.asarray(v, dtype=np.uint64), field)
+            for v in prover.layers_u64
+        ]
+
+    begin_raw = serialize_gkr_message(prover.start_protocol())
+    hasher = DefaultFieldHasher(field, b"")
+    k0 = circuit.num_vars_at(0)
+    r0 = hasher.hash_to_field(begin_raw, k0)
+
+    # seed the device chain with the midstate over Z_pad || Begin
+    full = bytes(64) + begin_raw
+    nfull = len(full) // 64
+    state = jnp.asarray(sha256_midstate(full[: 64 * nfull]))
+    buf_np = np.zeros(64, np.uint8)
+    rem = full[64 * nfull :]
+    buf_np[: len(rem)] = np.frombuffer(rem, np.uint8)
+    buf = jnp.asarray(buf_np)
+    nbytes = jnp.uint32(len(begin_raw))
+
+    r_i = FArray.from_ints(np.array([f.v for f in r0], dtype=object), field)
+    outs = []
+    for i in range(num_layers):
+        k_cur = circuit.num_vars_at(i)
+        k = circuit.num_vars_at(i + 1)
+        b_idx, c_idx, is_mul = circuit._wiring[i]
+        g = len(b_idx)
+        b_idx = jnp.asarray(b_idx)
+        c_idx = jnp.asarray(c_idx)
+        is_mul = jnp.asarray(is_mul)
+        w_lsb = layers_dev[i + 1]
+        a = _layer_phase1_jit(k_cur, k, g, field)(
+            state, buf, nbytes, jnp.uint32(i), r_i, w_lsb, b_idx, c_idx, is_mul
+        )
+        state, buf, nbytes, c1, a_lo, a_hi, u, eq_r, az_a = a
+        b = _layer_phase2_jit(k, g, field)(
+            state, buf, nbytes, u, w_lsb, eq_r, b_idx, c_idx, is_mul
+        )
+        state, buf, nbytes = b[0], b[1], b[2]
+        r_i = b[9]
+        outs.append((k, c1, a_lo, a_hi) + tuple(b[3:9]) + (az_a, b[10]))
+
+    # ONE synchronization point: pull every layer's coefficients
+    pulled = jax.tree_util.tree_map(np.asarray, outs)
+    msgs = [begin_raw]
+    for i, row in enumerate(pulled):
+        (k, c1, a_lo, a_hi, b_lo, b_hi, p_lo, p_hi, q_lo, q_hi, az_a, az_b) = row
+        if bool(az_a) or bool(az_b):
+            return None
+        msgs.append(
+            bytes([1])
+            + _felt_bytes_host(c1[0], c1[1])
+            + struct.pack("<QQ", i, 2 * int(k))
+        )
+        for j in range(a_lo.shape[0]):
+            msgs.append(bytes([2]) + _poly_bytes_host(a_lo[j], a_hi[j]))
+        for j in range(b_lo.shape[0]):
+            msgs.append(bytes([2]) + _poly_bytes_host(b_lo[j], b_hi[j]))
+        msgs.append(
+            bytes([3])
+            + _poly_bytes_host(p_lo, p_hi)
+            + _poly_bytes_host(q_lo, q_hi)
+        )
+    return msgs

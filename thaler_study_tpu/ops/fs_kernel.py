@@ -38,18 +38,11 @@ import numpy as np
 from ..fields import FArray, FieldConfig
 from ..fields import backend32 as b32
 from ..fields import goldilocks as gl
-from ..fields.field import GOLDILOCKS_P
 from .round_kernel import PolySpec, _fold_tables, _round_sums
-from .sha256 import _H0, _compress
+from .sha_chain import DevChain, default_unroll, hash_to_field_chain
 
 U8 = jnp.uint8
 U32 = jnp.uint32
-
-# DefaultFieldHasher<Sha256, 128>: len_per_base_elem =
-# ceil((bits(p) + 128)/8) (fiat_shamir/hash_to_field.py) — 24 bytes for
-# Goldilocks, <= 20 for mont32 fields (so ell = 1 in both cases).
-_C64 = (1 << 64) % GOLDILOCKS_P
-_C128 = (1 << 128) % GOLDILOCKS_P
 
 
 def _le_bytes_u64_const(v: int) -> np.ndarray:
@@ -74,97 +67,17 @@ def _felt_bytes_le_m32(canon, byte_size: int) -> jnp.ndarray:
     return jnp.stack(parts)
 
 
-def _words_be_to_bytes(words) -> jnp.ndarray:
-    """[k] uint32 -> [4k] uint8, big-endian per word (SHA-256 output order)."""
-    out = []
-    for i in range(words.shape[0]):
-        for s in (24, 16, 8, 0):
-            out.append(((words[i] >> U32(s)) & U32(0xFF)).astype(U8))
-    return jnp.stack(out)
-
-
-def _bytes_to_blocks_dev(msg: jnp.ndarray) -> jnp.ndarray:
-    """Device SHA-256 padding: [L] uint8 (static L) -> [n, 16] uint32 words."""
-    ln = int(msg.shape[0])
-    pad = (56 - (ln + 1) % 64) % 64
-    tail = np.zeros(1 + pad + 8, dtype=np.uint8)
-    tail[0] = 0x80
-    tail[-8:] = np.frombuffer((8 * ln).to_bytes(8, "big"), dtype=np.uint8)
-    padded = jnp.concatenate([msg, jnp.asarray(tail)])
-    b = padded.reshape(-1, 4).astype(U32)
-    words = (
-        (b[:, 0] << U32(24))
-        | (b[:, 1] << U32(16))
-        | (b[:, 2] << U32(8))
-        | b[:, 3]
-    )
-    return words.reshape(-1, 16)
-
-
-def _sha256_dev(msg: jnp.ndarray) -> jnp.ndarray:
-    """[L] uint8 (static L) -> [8] uint32 digest words."""
-    blocks = _bytes_to_blocks_dev(msg)
-    state = jnp.asarray(_H0)
-    for i in range(blocks.shape[0]):
-        state = _compress(state, blocks[i])
-    return state
-
-
-def _expand_xmd_dev(transcript: jnp.ndarray, length: int) -> jnp.ndarray:
-    """RFC 9380 expand_message_xmd (empty DST, length <= 32 so ell = 1) on
-    device; returns the 8 uint32 digest words of b_1."""
-    z_pad = np.zeros(64, dtype=np.uint8)
-    # l_i_b_str (2 bytes BE) + the 0x00 separator + dst_prime = [len(dst)=0]
-    suffix = np.array([length >> 8, length & 0xFF, 0, 0], dtype=np.uint8)
-    b_0 = _sha256_dev(
-        jnp.concatenate([jnp.asarray(z_pad), transcript, jnp.asarray(suffix)])
-    )
-    b0_bytes = _words_be_to_bytes(b_0)
-    one_dst = np.array([1, 0], dtype=np.uint8)  # block index 1 + dst_prime
-    return _sha256_dev(jnp.concatenate([b0_bytes, jnp.asarray(one_dst)]))
-
-
 def _hash_to_field_gl(transcript: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """DefaultFieldHasher<Sha256,128>::hash_to_field::<1> with empty DST for
-    Goldilocks, fully on device. len_in_bytes = 24, big-endian reduction.
+    Goldilocks over a raw transcript byte array ([L] uint8, static L), on
+    device. Returns canonical (lo, hi) uint32 scalars. (Retained as the
+    chain-free entry point for differential tests; the proof kernels carry a
+    DevChain instead of re-absorbing the transcript.)"""
+    from ..fields.field import GOLDILOCKS
 
-    Returns canonical (lo, hi) uint32 scalars.
-    """
-    # value = int.from_bytes(first 24 bytes, 'big') = w0..w5 big-endian
-    w = _expand_xmd_dev(transcript, 24)
-    hi_lo, hi_hi = w[1], w[0]
-    mid_lo, mid_hi = w[3], w[2]
-    lo_lo, lo_hi = w[5], w[4]
-    # canonicalize each 64-bit limb (one conditional subtract suffices)
-    hi_lo, hi_hi = gl._reduce_once(hi_lo, hi_hi)
-    mid_lo, mid_hi = gl._reduce_once(mid_lo, mid_hi)
-    lo_lo, lo_hi = gl._reduce_once(lo_lo, lo_hi)
-    c64 = (U32(_C64 & 0xFFFFFFFF), U32(_C64 >> 32))
-    c128 = (U32(_C128 & 0xFFFFFFFF), U32(_C128 >> 32))
-    acc = gl.add(lo_lo, lo_hi, *gl.mul(mid_lo, mid_hi, *c64))
-    acc = gl.add(*acc, *gl.mul(hi_lo, hi_hi, *c128))
-    return acc
-
-
-def _hash_to_field_m32(transcript: jnp.ndarray, field: FieldConfig) -> jnp.ndarray:
-    """hash_to_field for mont32 fields: len_in_bytes = ceil((bits+128)/8),
-    big-endian Horner reduction byte-by-byte (acc = acc*256 + b mod p).
-
-    Returns the challenge as a MONTGOMERY-domain uint32 scalar (the form the
-    fold consumes)."""
-    p = field.p
-    pinv = field.mont_pinv_neg
-    length = (field.bit_size + 128 + 7) // 8
-    w = _expand_xmd_dev(transcript, length)
-    c256 = U32((256 << 32) % p)
-    acc = U32(0) * w[0]  # 0 scalar with traced dtype
-    for i in range(length):
-        byte = (w[i // 4] >> U32(24 - 8 * (i % 4))) & U32(0xFF)
-        acc = b32.mont_mul(p, pinv, acc, c256)
-        acc = acc + byte
-        acc = jnp.where(acc >= U32(p), acc - U32(p), acc)
-    # canonical -> Montgomery
-    return b32.to_mont(p, pinv, field.mont_r2, acc)
+    chain = DevChain.fresh().absorb(transcript)
+    ((lo, hi),) = hash_to_field_chain(chain, GOLDILOCKS, 1)
+    return lo, hi
 
 
 @lru_cache(maxsize=None)
@@ -233,7 +146,7 @@ def _fs_prove_impl(spec: PolySpec, n: int, degree: int):
     """Build the unrolled whole-proof program (trace-time loop over rounds)."""
 
     def impl(tables: Tuple[FArray, ...]):
-        transcript = jnp.zeros((0,), dtype=U8)
+        chain = DevChain.fresh(unroll=default_unroll())
         cur_spec = spec
         coeff_rows = []  # [n][degree+1] of (lo, hi) scalars
         c1 = None
@@ -278,15 +191,13 @@ def _fs_prove_impl(spec: PolySpec, n: int, degree: int):
                     parts.append(_felt_bytes_le(lo, hi))
                 else:
                     parts.append(_felt_bytes_le_m32(lo, byte_size))
-            transcript = jnp.concatenate([transcript] + parts)
+            chain = chain.absorb(jnp.concatenate(parts))
             if j < n - 1:
+                ((rlo, rhi),) = hash_to_field_chain(chain, field, 1)
                 if is_gl:
-                    rlo, rhi = _hash_to_field_gl(transcript)
                     r = FArray((rlo, rhi), field)
                 else:
-                    r = FArray(
-                        (_hash_to_field_m32(transcript, field),), field
-                    )
+                    r = FArray((rlo,), field)
         coeff_lo = jnp.stack(
             [jnp.stack([c[0] for c in row]) for row in coeff_rows]
         )

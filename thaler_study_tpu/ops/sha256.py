@@ -54,12 +54,14 @@ def _rotr(x, n):
     return (x >> jnp.uint32(n)) | (x << jnp.uint32(32 - n))
 
 
-def _compress(state, block):
+def _compress(state, block, unroll: int = 1):
     """One SHA-256 compression: state [8] uint32, block [16] uint32 (BE words).
 
     Rounds and the message schedule run as lax.fori_loops (a fully unrolled
     scalar chain compiles pathologically slowly under XLA:CPU's forced
-    multi-device mode, which the test mesh uses)."""
+    multi-device mode, which the test mesh uses). On TPU the per-iteration
+    loop overhead dominates the tiny scalar body, so hot callers pass
+    ``unroll`` > 1 (ops/sha_chain.py) — same values, fewer loop trips."""
     w0 = jnp.zeros(64, jnp.uint32).at[:16].set(block)
 
     def sched(i, w):
@@ -69,7 +71,7 @@ def _compress(state, block):
         s1 = _rotr(y, 17) ^ _rotr(y, 19) ^ (y >> jnp.uint32(10))
         return w.at[i].set(w[i - 16] + s0 + w[i - 7] + s1)
 
-    w = jax.lax.fori_loop(16, 64, sched, w0)
+    w = jax.lax.fori_loop(16, 64, sched, w0, unroll=unroll)
     k = jnp.asarray(_K)
 
     def rnd(i, v):
@@ -82,8 +84,35 @@ def _compress(state, block):
         t2 = s0 + maj
         return jnp.stack([t1 + t2, a, b, c, d + t1, e, f, g])
 
-    v = jax.lax.fori_loop(0, 64, rnd, state)
+    v = jax.lax.fori_loop(0, 64, rnd, state, unroll=unroll)
     return state + v
+
+
+def _py_compress(state: np.ndarray, block: bytes) -> None:
+    """Pure-python SHA-256 compression, in place on state [8] uint32 — the
+    ``runtime.sha256_midstate`` fallback when the C++ runtime is absent."""
+    M = 0xFFFFFFFF
+
+    def rotr(x, n):
+        return ((x >> n) | (x << (32 - n))) & M
+
+    w = list(np.frombuffer(block, dtype=">u4").astype(np.uint64))
+    w = [int(x) for x in w]
+    for i in range(16, 64):
+        s0 = rotr(w[i - 15], 7) ^ rotr(w[i - 15], 18) ^ (w[i - 15] >> 3)
+        s1 = rotr(w[i - 2], 17) ^ rotr(w[i - 2], 19) ^ (w[i - 2] >> 10)
+        w.append((w[i - 16] + s0 + w[i - 7] + s1) & M)
+    a, b, c, d, e, f, g, h = (int(x) for x in state)
+    for i in range(64):
+        s1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25)
+        ch = (e & f) ^ (~e & g)
+        t1 = (h + s1 + ch + int(_K[i]) + w[i]) & M
+        s0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = (s0 + maj) & M
+        a, b, c, d, e, f, g, h = (t1 + t2) & M, a, b, c, (d + t1) & M, e, f, g
+    for i, v in enumerate((a, b, c, d, e, f, g, h)):
+        state[i] = (int(state[i]) + v) & M
 
 
 def pad_message(msg_len: int) -> int:

@@ -84,6 +84,9 @@ def _load():
         u64p, u64p, u64p, i32p, i32p, u8p, ctypes.c_int64, ctypes.c_uint64
     ]
     lib.ts_wiring_eval_sparse.restype = ctypes.c_uint64
+    lib.ts_sha256_blocks.argtypes = [
+        u8p, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32)
+    ]
     for name in ("ts_addmod_arr", "ts_submod_arr", "ts_mulmod_arr"):
         getattr(lib, name).argtypes = [
             u64p, u64p, u64p, ctypes.c_int64, ctypes.c_uint64
@@ -241,6 +244,39 @@ def wiring_eval_sparse(eq_r, eq_b, eq_c, b_idx, c_idx, sel, p: int) -> int:
             len(b_idx), p,
         )
     )
+
+
+def sha256_midstate(data: bytes, state=None) -> np.ndarray:
+    """Advance a SHA-256 midstate over full 64-byte blocks of ``data``
+    (len(data) % 64 == 0). Seeds with H0 when ``state`` is None. Returns the
+    new [8] uint32 state. Used to absorb large Fiat-Shamir transcript
+    prefixes once instead of re-hashing them per challenge draw."""
+    assert len(data) % 64 == 0
+    if state is None:
+        state = np.array(
+            [
+                0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
+                0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19,
+            ],
+            dtype=np.uint32,
+        )
+    out = np.array(state, dtype=np.uint32).copy()
+    if not len(data):
+        return out
+    lib = _load()
+    if lib is None:
+        from ..ops.sha256 import _py_compress
+
+        for off in range(0, len(data), 64):
+            _py_compress(out, data[off : off + 64])
+        return out
+    buf = np.frombuffer(data, dtype=np.uint8)
+    lib.ts_sha256_blocks(
+        _ptr(np.ascontiguousarray(buf), _U8P),
+        len(data) // 64,
+        _ptr(out, ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out
 
 
 def mle_eval(evals, point, p: int) -> int:
