@@ -1,25 +1,28 @@
-"""Benchmark: fused sumcheck round-kernel throughput on one chip.
+"""Benchmark: whole-proof Fiat-Shamir sumcheck throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The metric is prover field-operations per second (muls + adds, modeled
-exactly from the kernel structure by utils/counters) for the fused
-fold + degree-2 partial-sum round step of a 2-factor Goldilocks product
-over a 2^22-point hypercube — the hot loop of every protocol in the stack
-(ref hot loop: matrix-multiplication/src/lib.rs:110-131; metric:
-BASELINE.md 'sumcheck prover field-ops/s per chip'). The reference
+exactly from the kernel structure by utils/counters) for COMPLETE
+non-interactive sumcheck proofs through the production fused path
+(ops/fs_kernel.py::fs_prove_device_batch): every fold, round sum,
+arkworks-canonical serialization, and SHA-256 Fiat-Shamir challenge in one
+batched device dispatch, host byte-assembly included. This is the
+whole-protocol analogue of the reference's criterion harness, which clones
+the prover and runs all rounds per iteration
+(matrix-multiplication/benches/mm_benchmark.rs:64-101); the hot loop it
+generalizes is matrix-multiplication/src/lib.rs:110-131. The reference
 publishes no numbers (BASELINE.json "published": {}), so vs_baseline is
 reported as 1.0 by convention.
 
-Methodology: each rep uses a fresh challenge and pulls the round sums to
-host before the next dispatch — exactly the dependency structure of a
-real sumcheck loop (the next challenge derives from the sums). On this
-container the chip sits behind a remote-execution tunnel adding ~25 ms
-per synchronous call, which dominates the ~2-3 ms device compute; the
-sustained device-side round time (measured separately with periodic
-result observation, see BENCHMARKS.md) is ~2.8 ms at 2^23 points.
-Overlapped-dispatch timings are not used: through this tunnel they
-report physically impossible (>HBM-bandwidth) figures.
+Configuration: B independent 2-factor Goldilocks product proofs over a
+2^n-point hypercube per dispatch (n = BENCH_N_VARS, default 22; B =
+BENCH_BATCH, default 64). Batching amortizes the sequential SHA-256
+challenge chain (vmapped across the batch) and the remote-tunnel dispatch
+latency (~25 ms/call on this container) the way a production prover
+amortizes them across independent proofs. Measured scaling on v5e:
+~160 ms fixed (chain + dispatch) + ~2.6 ms/proof marginal (the HBM-bound
+fold+sum passes), i.e. 1.6 G field-ops/s at B=4 -> 10 G at B=64.
 """
 
 import json
@@ -38,80 +41,84 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 N_VARS = int(os.environ.get("BENCH_N_VARS", "22"))
-REPS = int(os.environ.get("BENCH_REPS", "20"))
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+REPS = int(os.environ.get("BENCH_REPS", "4"))
 
 
 def main():
     import numpy as np
 
     from thaler_study_tpu.fields import GOLDILOCKS, FArray
-    from thaler_study_tpu.ops.round_kernel import PolySpec, _round_step_jit
+    from thaler_study_tpu.ops.fs_kernel import fs_prove_device_batch
+    from thaler_study_tpu.ops.round_kernel import PolySpec
     from thaler_study_tpu.utils.counters import COUNTS, count_round
 
     field = GOLDILOCKS
     n = N_VARS
-    spec = PolySpec(block_sizes=(n + 1,), table_blocks=((0,), (0,)), terms=((0, 1),))
-    sums_spec = spec.after_fold()
+    spec = PolySpec(block_sizes=(n,), table_blocks=((0,), (0,)), terms=((0, 1),))
 
     rng = np.random.default_rng(42)
     tables = tuple(
         FArray(
             (
                 jax.numpy.asarray(
-                    rng.integers(0, 1 << 32, size=1 << (n + 1), dtype=np.uint32)
+                    rng.integers(0, 1 << 32, size=(BATCH, 1 << n), dtype=np.uint32)
                 ),
                 jax.numpy.asarray(
-                    rng.integers(0, 1 << 31, size=1 << (n + 1), dtype=np.uint32)
+                    rng.integers(0, 1 << 31, size=(BATCH, 1 << n), dtype=np.uint32)
                 ),
             ),
             field,
         )
         for _ in range(2)
     )
-    rs = [
-        FArray.scalar(field.felt(123456789123456789 + 7919 * i))
-        for i in range(REPS + 1)
-    ]
-    step = _round_step_jit(spec, True, 2, field)
+
+    # field ops for ONE whole proof: n rounds, fold from round 1 on
+    COUNTS.reset()
+    s = spec
+    for j in range(n):
+        count_round(s, fold=j > 0)
+        if j < n - 1:
+            s = s.after_fold()
+    ops_per_proof = COUNTS.field_muls + COUNTS.field_adds
+
     # warm-up / compile
-    sums, _ = step(tables, rs[REPS])
-    jax.block_until_ready(sums.limbs)
+    msgs = fs_prove_device_batch(spec, tables)
+    assert msgs is not None and len(msgs) == BATCH
 
     # adaptive rep count: the remote tunnel has degraded phases (seconds
     # per call); probe one rep and shrink REPS so the bench always finishes
     t0 = time.perf_counter()
-    sums, _ = step(tables, rs[0])
-    np.asarray(sums.limbs[0])
+    fs_prove_device_batch(spec, tables)
     probe_s = time.perf_counter() - t0
-    reps = REPS if probe_s < 1.0 else max(2, min(REPS, int(60 / probe_s)))
+    reps = REPS if probe_s < 2.0 else max(2, min(REPS, int(60 / probe_s)))
 
     t0 = time.perf_counter()
-    for i in range(reps):
-        sums, _ = step(tables, rs[i])
-        np.asarray(sums.limbs[0])  # sync: observe the round sums on host
+    for _ in range(reps):
+        msgs = fs_prove_device_batch(spec, tables)
     elapsed = time.perf_counter() - t0
-    sync_round_ms = elapsed / reps * 1e3
+    assert msgs is not None
 
-    COUNTS.reset()
-    count_round(sums_spec, fold=True)
-    ops_per_round = COUNTS.field_muls + COUNTS.field_adds
-    ops_per_sec = ops_per_round * reps / elapsed
+    proofs = reps * BATCH
+    ops_per_sec = ops_per_proof * proofs / elapsed
 
     print(
         json.dumps(
             {
-                "metric": "sumcheck_round_kernel_field_ops_per_s",
+                "metric": "fs_sumcheck_whole_proof_field_ops_per_s",
                 "value": round(ops_per_sec),
                 "unit": "field_ops/s/chip",
                 "vs_baseline": 1.0,
                 "detail": {
                     "field": "goldilocks(2^64-2^32+1)",
-                    "hypercube_points": 1 << (n + 1),
-                    "field_muls_per_round": COUNTS.field_muls,
-                    "field_adds_per_round": COUNTS.field_adds,
-                    "round_ms": elapsed / reps * 1e3,
-                    "sync_round_ms": sync_round_ms,
+                    "hypercube_points": 1 << n,
+                    "batch": BATCH,
+                    "rounds_per_proof": n,
+                    "field_ops_per_proof": ops_per_proof,
+                    "proof_ms": elapsed / proofs * 1e3,
+                    "dispatch_ms": elapsed / reps * 1e3,
                     "reps": reps,
+                    "transcript_hash": "sha256/expand_message_xmd on device",
                     "device": str(jax.devices()[0]),
                 },
             }

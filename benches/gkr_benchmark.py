@@ -59,6 +59,14 @@ def main():
                     help="protocol repetitions; the last run is fully warm "
                          "(per-program first-call costs ~1.3s through the "
                          "remote tunnel, paid once per process)")
+    ap.add_argument("--fused", action="store_true",
+                    help="prove through the fused non-interactive path "
+                         "(gkr/fused.py: two device dispatches per layer, "
+                         "challenges from the on-device FS chain) and check "
+                         "the transcript with verify_gkr_transcript")
+    ap.add_argument("--skip-verify", action="store_true",
+                    help="fused mode: skip transcript verification (the "
+                         "host verifier replay, timed separately anyway)")
     args = ap.parse_args()
 
     from thaler_study_tpu.fields import GOLDILOCKS as F
@@ -73,10 +81,64 @@ def main():
         t0 = time.perf_counter()
         prover = Prover(circuit, inputs, F)
         t_forward = time.perf_counter() - t0
-        run_one(
-            args, circuit, inputs, F, prover, run_idx == args.runs - 1,
-            t_forward,
+        if args.fused:
+            run_fused(
+                args, circuit, inputs, F, prover, run_idx == args.runs - 1,
+                t_forward,
+            )
+        else:
+            run_one(
+                args, circuit, inputs, F, prover, run_idx == args.runs - 1,
+                t_forward,
+            )
+
+
+def run_fused(args, circuit, inputs, F, prover, emit, t_forward):
+    """Whole-proof fused path: one timed generate_gkr_transcript_fused call
+    (device dispatches pipeline; a single host pull at the end), then the
+    host verifier replay."""
+    from thaler_study_tpu.gkr import Verifier
+    from thaler_study_tpu.gkr.fused import generate_gkr_transcript_fused
+    from thaler_study_tpu.gkr.transcript import verify_gkr_transcript
+
+    t0 = time.perf_counter()
+    transcript = generate_gkr_transcript_fused(prover, F)
+    t_prove = time.perf_counter() - t0
+
+    ok = True
+    t_verify = 0.0
+    if not args.skip_verify:
+        t0 = time.perf_counter()
+        ok = verify_gkr_transcript(
+            transcript, Verifier(circuit, F), inputs, F
         )
+        t_verify = time.perf_counter() - t0
+    if not emit:
+        assert ok
+        return
+    print(
+        json.dumps(
+            {
+                "bench": "gkr_prover_fused_noninteractive",
+                "gates": args.depth << args.width_log,
+                "depth": args.depth,
+                "width": 1 << args.width_log,
+                "field": F.name,
+                "accepted": bool(ok),
+                "prover_s": round(t_forward + t_prove, 3),
+                "verifier_s": round(t_verify, 3),
+                "messages": len(transcript.g),
+                "transcript_bytes": sum(len(m) for m in transcript.g),
+                "breakdown": {
+                    "forward_pass_s": round(t_forward, 3),
+                    "fused_layers_s": round(t_prove, 3),
+                },
+                "device": str(jax.devices()[0]),
+            }
+        ),
+        flush=True,
+    )
+    assert ok
 
 
 def run_one(args, circuit, inputs, F, prover, emit, t_forward):
