@@ -102,6 +102,42 @@ def _pinv_neg(p: int) -> int:
     return (-pow(p, -1, 1 << 32)) % (1 << 32)
 
 
+def dot_mod(p: int, pinv_neg: int, a, b):
+    """Exact Montgomery-domain modular sum over ALL elements of a*b.
+
+    Skips the per-element REDC: each raw 64-bit product stays as its
+    (hi, lo) uint32 words, every 16-bit lane is native-``jnp.sum``med per
+    <= 2^16-element chunk (lane sums < 2^32, exact), the chunk lane totals
+    s_i recombine mod p with weights 2^(16 i) (via mont_mul by the
+    constants (2^(16 i) << 32) mod p), and ONE REDC per chunk converts
+    sum(mont(x) mont(y)) = R^2 sum(xy) back to mont(sum(xy)). Returns a
+    scalar in the Montgomery domain, identical to summing mont_mul(a, b).
+    """
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a, b = (jnp.broadcast_to(x, shape).reshape(-1) for x in (a, b))
+    t_hi, t_lo = mul32_hilo(a, b)
+    n = t_lo.shape[0]
+    chunk = min(n, _LANE_CHUNK)
+    pad = (-n) % chunk
+    if pad:
+        t_lo = jnp.pad(t_lo, (0, pad))
+        t_hi = jnp.pad(t_hi, (0, pad))
+    c = (n + pad) // chunk
+    mask = np.uint32(0xFFFF)
+    s16 = np.uint32(16)
+    acc = None
+    for i, w in enumerate((t_lo, t_hi)):
+        shaped = w.reshape(c, chunk)
+        for lane, s in enumerate((jnp.sum(shaped & mask, axis=-1, dtype=jnp.uint32),
+                                  jnp.sum(shaped >> s16, axis=-1, dtype=jnp.uint32))):
+            w16 = ((1 << (16 * (2 * i + lane))) << 32) % p  # mont weight
+            term = mont_mul(p, pinv_neg, s, jnp.full_like(s, jnp.uint32(w16)))
+            acc = term if acc is None else add(p, acc, term)
+    # acc === R^2 * chunk_dot (mod p); one REDC -> mont(chunk_dot)
+    acc = from_mont(p, pinv_neg, acc)
+    return sum_mod(p, acc, 0)
+
+
 def sum_mod(p: int, a, axis: int):
     """Exact modular sum along ``axis``.
 

@@ -174,6 +174,48 @@ def _lane_combine(s0, s1, s2, s3):
     return add(*acc, t3_lo, t3_hi)
 
 
+# 2^(32 j) mod p as canonical (lo, hi) pairs, j = 1..3 (j = 0 is identity):
+# 2^32, 2^64 === EPS, 2^96 === -1 === p - 1
+_POW32_LO = (np.uint32(0), EPS, np.uint32(0))
+_POW32_HI = (np.uint32(1), np.uint32(0), np.uint32(0xFFFFFFFF))
+
+
+def dot_mod(alo, ahi, blo, bhi):
+    """Exact modular sum over ALL elements of the elementwise product a*b.
+
+    Skips the per-element 128-bit reduction (``_reduce128``): each product
+    stays as its four raw uint32 words w0..w3, every 16-bit lane of every
+    word is native-``jnp.sum``med per <= 2^16-element chunk (lane sums
+    < 2^32, exact), and the chunk word-totals T_j = sum w_j (< 2^49 < p,
+    so already canonical 64-bit pairs) recombine with the constants
+    2^(32 j) mod p — ONE modular combine per chunk instead of one
+    reduction per element. Returns scalar canonical (lo, hi)."""
+    shape = jnp.broadcast_shapes(alo.shape, blo.shape)
+    alo, ahi, blo, bhi = (
+        jnp.broadcast_to(x, shape).reshape(-1) for x in (alo, ahi, blo, bhi)
+    )
+    w = _mul_words(alo, ahi, blo, bhi)
+    n = w[0].shape[0]
+    chunk = min(n, _LANE_CHUNK)
+    pad = (-n) % chunk
+    if pad:
+        w = tuple(jnp.pad(x, (0, pad)) for x in w)
+    c = (n + pad) // chunk
+    mask = np.uint32(0xFFFF)
+    s16 = np.uint32(16)
+    acc = None
+    for j in range(4):
+        shaped = w[j].reshape(c, chunk)
+        se = jnp.sum(shaped & mask, axis=-1, dtype=jnp.uint32)
+        so = jnp.sum(shaped >> s16, axis=-1, dtype=jnp.uint32)
+        # T_j = se + so * 2^16 < 2^32 + 2^48 < p: exact, canonical
+        tlo, thi, _ = _add64(se, jnp.zeros_like(se), so << s16, so >> s16)
+        if j:
+            tlo, thi = mul(tlo, thi, _POW32_LO[j - 1], _POW32_HI[j - 1])
+        acc = (tlo, thi) if acc is None else add(*acc, tlo, thi)
+    return sum_mod(acc[0], acc[1], 0)
+
+
 def sum_mod(lo, hi, axis: int):
     """Exact modular sum along ``axis``.
 

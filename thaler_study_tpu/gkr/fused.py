@@ -43,7 +43,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields import FArray, FieldConfig
-from ..ops.fs_kernel import _felt_bytes_le, _interp_coeffs
+from ..fields import goldilocks as gl
+from ..ops.fs_kernel import _claim_at, _felt_bytes_le, _interp_coeffs
 from ..ops.round_kernel import PolySpec, _fold_tables, _round_sums
 from ..ops.sha_chain import DevChain, default_unroll, hash_to_field_chain
 from .device_tables import (
@@ -125,27 +126,42 @@ def _layer_phase1_jit(k_cur: int, k: int, g: int, field: FieldConfig):
         )
         tables = (lsb_to_msb(w_lsb, k), lsb_to_msb(a1_lsb, k), lsb_to_msb(a2_lsb, k))
         spec = _phase1_spec(k)
-        # the layer claim (StartSumCheck.c_1): sum_b W(b) A1(b) + A2(b)
-        c1 = (tables[0] * tables[1]).sum(axis=0) + tables[2].sum(axis=0)
-        start_msg = jnp.concatenate(
-            [
-                _np_bytes(bytes([1])),
-                _felt_bytes_le(c1.limbs[0], c1.limbs[1]),
-                _le8_from_u32(layer_idx),
-                _np_bytes(struct.pack("<Q", 2 * k)),
-            ]
-        )
-        chain = chain.absorb(start_msg)
         any_zero = jnp.asarray(False)
         coeff_rows = []
         u_scalars = []
         r = None
+        dom_coeffs = None
+        c1 = None
         for j in range(k):
             if r is not None:
                 tables = _fold_tables(spec, tables, r)
                 spec = spec.after_fold()
-            sums = _round_sums(spec, tables, 2)
-            coeffs = _interp_coeffs(sums, 2)
+                claim = _claim_at(field, dom_coeffs, r)
+            else:
+                claim = None
+            sums = _round_sums(spec, tables, 2, claim=claim)
+            if j == 0:
+                # the layer claim (StartSumCheck.c_1) = s(0) + s(1) of the
+                # first round — no separate full-grid product pass needed
+                c1 = FArray(
+                    gl.add(
+                        sums.limbs[0][0],
+                        sums.limbs[1][0],
+                        sums.limbs[0][1],
+                        sums.limbs[1][1],
+                    ),
+                    field,
+                )
+                start_msg = jnp.concatenate(
+                    [
+                        _np_bytes(bytes([1])),
+                        _felt_bytes_le(c1.limbs[0], c1.limbs[1]),
+                        _le8_from_u32(layer_idx),
+                        _np_bytes(struct.pack("<Q", 2 * k)),
+                    ]
+                )
+                chain = chain.absorb(start_msg)
+            coeffs, dom_coeffs = _interp_coeffs(sums, 2)
             any_zero = _track_zero(any_zero, coeffs)
             coeff_rows.append(coeffs)
             chain = chain.absorb(_msg_sumcheck(coeffs))
@@ -185,7 +201,10 @@ def _layer_phase1_jit(k_cur: int, k: int, g: int, field: FieldConfig):
 def _layer_phase2_jit(k: int, g: int, field: FieldConfig):
     unroll = default_unroll()
 
-    def impl(state, buf, nbytes, u, w_lsb, eq_r, b_idx, c_idx, is_mul):
+    def impl(
+        state, buf, nbytes, u, last_lo, last_hi, w_lsb, eq_r, b_idx, c_idx,
+        is_mul,
+    ):
         chain = DevChain(state, buf, nbytes, unroll)
         b1_lsb, b2_lsb, w_u = phase2_tables(
             u, w_lsb, eq_r, b_idx, c_idx, is_mul, k
@@ -201,13 +220,18 @@ def _layer_phase2_jit(k: int, g: int, field: FieldConfig):
         coeff_rows = []
         c_scalars = []
         r = None
+        # claim chain seed: phase 1's last polynomial (coeffs passed in)
+        # evaluated at its challenge u_{k-1}
+        dom_coeffs = [(last_lo[t], last_hi[t]) for t in range(3)]
+        prev_r = FArray((u.limbs[0][k - 1], u.limbs[1][k - 1]), field)
         # rounds k .. 2k-2: the k-1 inner messages of phase 2
         for j in range(k - 1):
             if r is not None:
                 tables = _fold_tables(spec, tables, r)
                 spec = spec.after_fold()
-            sums = _round_sums(spec, tables, 2)
-            coeffs = _interp_coeffs(sums, 2)
+            claim = _claim_at(field, dom_coeffs, prev_r)
+            sums = _round_sums(spec, tables, 2, claim=claim)
+            coeffs, dom_coeffs = _interp_coeffs(sums, 2)
             any_zero = _track_zero(any_zero, coeffs)
             coeff_rows.append(coeffs)
             chain = chain.absorb(_msg_sumcheck(coeffs))
@@ -219,12 +243,14 @@ def _layer_phase2_jit(k: int, g: int, field: FieldConfig):
                 c_last = (llo, lhi)
             c_scalars.append((rlo, rhi))
             r = FArray((rlo, rhi), field)
+            prev_r = r
         c_scalars.append(c_last)
         # final round polynomial p: fold r_{2k-2}, one variable remains
         tables = _fold_tables(spec, tables, r)
         spec = spec.after_fold()
-        sums = _round_sums(spec, tables, 2)
-        p_coeffs = _interp_coeffs(sums, 2)
+        claim = _claim_at(field, dom_coeffs, prev_r)
+        sums = _round_sums(spec, tables, 2, claim=claim)
+        p_coeffs, _ = _interp_coeffs(sums, 2)
         any_zero = _track_zero(any_zero, p_coeffs)
         # q = W~ restricted to the line through b=u, c (ref restrict_poly):
         # evaluate at t = 0..k on device, interpolate exactly
@@ -248,7 +274,7 @@ def _layer_phase2_jit(k: int, g: int, field: FieldConfig):
             ),
             field,
         )
-        q_coeffs = _interp_coeffs(q_vals, k)
+        q_coeffs, _ = _interp_coeffs(q_vals, k)
         any_zero = _track_zero(any_zero, q_coeffs)
         final_msg = jnp.concatenate(
             [_np_bytes(bytes([3]))]
@@ -373,7 +399,8 @@ def _prove_fused(prover, field: FieldConfig) -> Optional[List[bytes]]:
         )
         state, buf, nbytes, c1, a_lo, a_hi, u, eq_r, az_a = a
         b = _layer_phase2_jit(k, g, field)(
-            state, buf, nbytes, u, w_lsb, eq_r, b_idx, c_idx, is_mul
+            state, buf, nbytes, u, a_lo[-1], a_hi[-1], w_lsb, eq_r, b_idx,
+            c_idx, is_mul,
         )
         state, buf, nbytes = b[0], b[1], b[2]
         r_i = b[9]

@@ -101,9 +101,13 @@ def _interp_matrix(degree: int, p: int) -> tuple:
     return tuple(tuple(row) for row in vinv)
 
 
-def _interp_coeffs(sums: FArray, degree: int) -> list:
-    """Round sums s(0..d) (FArray [d+1]) -> CANONICAL coefficient scalars
-    [(lo, hi)] (hi = 0 for mont32 fields)."""
+def _interp_coeffs(sums: FArray, degree: int) -> Tuple[list, list]:
+    """Round sums s(0..d) (FArray [d+1]) -> (canonical, sums-domain)
+    coefficient scalars. ``canonical``: [(lo, hi)] with hi = 0 for mont32
+    fields — what gets serialized. ``sums-domain``: the same coefficients
+    in the domain the round kernels compute in (canonical pairs for
+    goldilocks, MONTGOMERY scalars for mont32) — what the next round's
+    claim Horner evaluation consumes."""
     field = sums.field
     p = field.p
     m = _interp_matrix(degree, p)
@@ -122,10 +126,11 @@ def _interp_coeffs(sums: FArray, degree: int) -> list:
             if acc is None:
                 acc = (U32(0), U32(0))
             out.append(acc)
-        return out
+        return out, out
     pinv = field.mont_pinv_neg
     s = [sums.limbs[0][t] for t in range(degree + 1)]
     out = []
+    mont_out = []
     for i in range(degree + 1):
         acc = None
         for t in range(degree + 1):
@@ -137,9 +142,28 @@ def _interp_coeffs(sums: FArray, degree: int) -> list:
             acc = term if acc is None else b32.add(p, acc, term)
         if acc is None:
             acc = U32(0) * s[0]
+        mont_out.append(acc)
         canon = b32.from_mont(p, pinv, acc)
         out.append((canon, jnp.zeros_like(canon)))
-    return out
+    return out, mont_out
+
+
+def _claim_at(field: FieldConfig, dom_coeffs, r: FArray) -> FArray:
+    """Horner-evaluate the previous round polynomial at the challenge r —
+    the next round's claim c = g_prev(r), in the sums domain (so that
+    s(1) = c - s(0) is computed entirely within one representation)."""
+    if field.backend == "goldilocks":
+        rlo, rhi = r.limbs[0], r.limbs[1]
+        acc = dom_coeffs[-1]
+        for c in reversed(dom_coeffs[:-1]):
+            acc = gl.add(*gl.mul(acc[0], acc[1], rlo, rhi), *c)
+        return FArray((acc[0], acc[1]), field)
+    p, pinv = field.p, field.mont_pinv_neg
+    rm = r.limbs[0]  # Montgomery domain (hash_to_field_chain contract)
+    acc = dom_coeffs[-1]
+    for c in reversed(dom_coeffs[:-1]):
+        acc = b32.add(p, b32.mont_mul(p, pinv, acc, rm), c)
+    return FArray((acc,), field)
 
 
 def _fs_prove_impl(spec: PolySpec, n: int, degree: int):
@@ -155,12 +179,18 @@ def _fs_prove_impl(spec: PolySpec, n: int, degree: int):
         field = tables[0].field
         is_gl = field.backend == "goldilocks"
         byte_size = field.byte_size
+        dom_coeffs = None
         for j in range(n):
+            claim = None
             if r is not None:
                 tables = _fold_tables(cur_spec, tables, r)
                 cur_spec = cur_spec.after_fold()
-            sums = _round_sums(cur_spec, tables, degree)
-            coeffs = _interp_coeffs(sums, degree)
+                # every round after the first already knows its claim
+                # c = g_prev(r_prev): s(1) comes from c - s(0), skipping
+                # one of the degree+1 hypercube product passes
+                claim = _claim_at(field, dom_coeffs, r)
+            sums = _round_sums(cur_spec, tables, degree, claim=claim)
+            coeffs, dom_coeffs = _interp_coeffs(sums, degree)
             coeff_rows.append(coeffs)
             for lo, hi in coeffs:
                 any_zero = any_zero | ((lo == U32(0)) & (hi == U32(0)))

@@ -129,6 +129,53 @@ def _lane_reduce_tile(field: FieldConfig, vals: Tuple) -> Tuple:
     )
 
 
+def _lane_reduce_words(field: FieldConfig, a: Tuple, b: Tuple) -> Tuple:
+    """Exact modular tile-sum of the elementwise product a*b WITHOUT the
+    per-element 128-bit reduction (the Pallas twin of the backends'
+    ``dot_mod``): the raw product words are lane-summed natively (tile
+    <= 2^13 elements, 16-bit lanes -> sums < 2^29, no overflow) and the
+    word totals recombine mod p once per tile."""
+    mask = np.uint32(0xFFFF)
+    s16 = np.uint32(16)
+    if field.backend == "goldilocks":
+        w = gl._mul_words(a[0], a[1], b[0], b[1])
+        acc = None
+        for j in range(4):
+            se = (
+                jnp.sum((w[j] & mask).astype(jnp.int32), dtype=jnp.int32)
+                .astype(jnp.uint32)
+                .reshape(1, 1)
+            )
+            so = (
+                jnp.sum((w[j] >> s16).astype(jnp.int32), dtype=jnp.int32)
+                .astype(jnp.uint32)
+                .reshape(1, 1)
+            )
+            tlo, thi, _ = gl._add64(
+                se, jnp.zeros_like(se), so << s16, so >> s16
+            )
+            if j:
+                tlo, thi = gl.mul(
+                    tlo, thi, gl._POW32_LO[j - 1], gl._POW32_HI[j - 1]
+                )
+            acc = (tlo, thi) if acc is None else gl.add(*acc, tlo, thi)
+        return acc
+    p, pinv = field.p, field.mont_pinv_neg
+    t_hi, t_lo = b32.mul32_hilo(a[0], b[0])
+    acc = None
+    for i, word in enumerate((t_lo, t_hi)):
+        for lane_idx, lane in enumerate((word & mask, word >> s16)):
+            s = (
+                jnp.sum(lane.astype(jnp.int32), dtype=jnp.int32)
+                .astype(jnp.uint32)
+                .reshape(1, 1)
+            )
+            w16 = np.uint32(((1 << (16 * (2 * i + lane_idx))) << 32) % p)
+            term = b32.mont_mul(p, pinv, s, jnp.full_like(s, w16))
+            acc = term if acc is None else b32.add(p, acc, term)
+    return (b32.from_mont(p, pinv, acc),)
+
+
 def _make_kernel(field: FieldConfig, k: int, degree: int, rows: int):
     nl, add, sub, mul = _field_ops(field)
 
@@ -176,10 +223,15 @@ def _make_kernel(field: FieldConfig, k: int, degree: int, rows: int):
                 views = list(f_hi)
             else:
                 views = [add(v, d) for v, d in zip(views, deltas)]
-            prod = views[0]
-            for v in views[1:]:
-                prod = mul(prod, v)
-            tile_sums.append(_lane_reduce_tile(field, prod))
+            if len(views) == 1:
+                tile_sums.append(_lane_reduce_tile(field, views[0]))
+            else:
+                prod = views[0]
+                for v in views[1:-1]:
+                    prod = mul(prod, v)
+                tile_sums.append(
+                    _lane_reduce_words(field, prod, views[-1])
+                )
 
         @pl.when(i == 0)
         def _():

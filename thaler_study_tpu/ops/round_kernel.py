@@ -130,6 +130,23 @@ def _sum_all_axes(x: FArray) -> FArray:
     return x
 
 
+def _dot_all(a: FArray, b: FArray) -> FArray:
+    """sum over every element of a*b (with broadcasting), via the backends'
+    lazy-word dot: raw product words are lane-summed per chunk and reduced
+    ONCE per chunk instead of once per element (fields/goldilocks.dot_mod,
+    fields/backend32.dot_mod). Bit-identical to _sum_all_axes(a * b)."""
+    from ..fields import backend32 as b32
+    from ..fields import goldilocks as gl
+
+    f = a.field
+    if f.backend == "goldilocks":
+        lo, hi = gl.dot_mod(a.limbs[0], a.limbs[1], b.limbs[0], b.limbs[1])
+        return FArray((lo, hi), f)
+    return FArray(
+        (b32.dot_mod(f.p, f.mont_pinv_neg, a.limbs[0], b.limbs[0]),), f
+    )
+
+
 # terms whose broadcast grid exceeds this use the pairwise contraction
 # (memory O(n^2) instead of O(n^3); identical modular result)
 _CONTRACT_THRESHOLD = 1 << 22
@@ -178,16 +195,32 @@ def _term_total(
                         m = _mxu_modmatmul_impl(f3, f2)  # [X, Y] on the MXU
                     else:
                         m = modmatmul_impl(f3, f2)
-                    return _sum_all_axes(f1 * m)
+                    return _dot_all(f1, m)
 
+    if len(term) == 1:
+        return _sum_all_axes(views[term[0]])
     prod = views[term[0]]
-    for k in term[1:]:
+    for k in term[1:-1]:
         prod = prod * views[k]
-    return _sum_all_axes(prod)
+    return _dot_all(prod, views[term[-1]])
 
 
-def _round_sums(spec: PolySpec, tables: Sequence[FArray], degree: int) -> FArray:
-    """Partial sums s(t), t = 0..degree, of the current round."""
+def _round_sums(
+    spec: PolySpec,
+    tables: Sequence[FArray],
+    degree: int,
+    claim: Optional[FArray] = None,
+) -> FArray:
+    """Partial sums s(t), t = 0..degree, of the current round.
+
+    When the round claim c = s(0) + s(1) is already known (every round but
+    the first of a Fiat-Shamir proof: c = g_prev(r_prev)), pass it as
+    ``claim`` (scalar FArray in the sums domain) and the t = 1 hypercube
+    product-sum is replaced by the subtraction s(1) = c - s(0) — exact mod
+    p, so transcripts are unchanged, and one of the degree+1 product
+    passes disappears (the classic sumcheck prover shortcut)."""
+    if degree < 1:
+        claim = None
     field = tables[0].field
     total_vars = spec.num_vars()
     # Views of each table at t: for tables with block 0, (lo, hi) halves give
@@ -221,6 +254,9 @@ def _round_sums(spec: PolySpec, tables: Sequence[FArray], degree: int) -> FArray
 
     sums = []
     for t_val in range(degree + 1):
+        if claim is not None and t_val == 1:
+            sums.append(None)  # filled from the claim below
+            continue
         views = per_t_views[t_val]
         acc = None
         for term in spec.terms:
@@ -234,6 +270,8 @@ def _round_sums(spec: PolySpec, tables: Sequence[FArray], degree: int) -> FArray
                 contrib = contrib * _pow2_scalar(field, missing)
             acc = contrib if acc is None else acc + contrib
         sums.append(acc.reshape((1,)))
+    if claim is not None:
+        sums[1] = claim.reshape((1,)) - sums[0]
     out = sums[0]
     for s in sums[1:]:
         out = out.concatenate(s, axis=0)

@@ -36,9 +36,16 @@ def _grid_size(spec, term) -> int:
     return 1 << sum(spec.block_sizes[b] for b in blocks)
 
 
-def count_round(spec: "PolySpec", fold: bool):
-    """Model the field ops of one fused round (fold + degree+1 sums)."""
+def count_round(spec: "PolySpec", fold: bool, claim_known: bool = False):
+    """Model the field ops of one fused round (fold + partial sums).
+
+    ``claim_known``: the round claim c = g_prev(r_prev) is available, so
+    the kernel derives s(1) = c - s(0) instead of running the t = 1
+    hypercube pass (ops/round_kernel._round_sums claim shortcut) — the
+    modeled ops shrink accordingly so field-ops/s stays an honest measure
+    of work actually performed."""
     degree = spec.degree()
+    t_passes = degree if (claim_known and degree >= 1) else degree + 1
     muls = 0
     adds = 0
     if fold:
@@ -50,8 +57,8 @@ def count_round(spec: "PolySpec", fold: bool):
     for term in spec.terms:
         half_grid = _grid_size(spec, term) // 2
         # product: (len(term)-1) muls per grid point per t value
-        muls += (degree + 1) * max(len(term) - 1, 0) * half_grid
+        muls += t_passes * max(len(term) - 1, 0) * half_grid
         # tree reduction: ~1 add per element per t value
-        adds += (degree + 1) * 2 * half_grid
+        adds += t_passes * 2 * half_grid
     COUNTS.field_muls += muls
     COUNTS.field_adds += adds
