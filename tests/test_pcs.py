@@ -73,3 +73,29 @@ def test_cheating_prover_rejected(rng):
         return  # shifted poly may trip the degree check first — also a reject
     with pytest.raises(EvalMismatch):
         verifier.verify_prover_reply(proof, value)
+
+
+def test_device_merkle_matches_host(rng):
+    """The batched device SHA-256 tree build (ops/merkle_kernel.py) is
+    byte-identical to the per-node hashlib build at every level, across
+    field element widths (1-byte F5, 8-byte goldilocks)."""
+    import dataclasses
+
+    from thaler_study_tpu.fields import GOLDILOCKS
+    from thaler_study_tpu.pcs.merkle import MerkleTree
+    from thaler_study_tpu.utils.config import get_config, use_config
+
+    for field, n in ((F5, 64), (GOLDILOCKS, 128), (GOLDILOCKS, 64)):
+        values = [field.felt(rng.randrange(field.p)) for _ in range(n)]
+        with use_config(
+            dataclasses.replace(get_config(), merkle_device_min_leaves=0)
+        ):
+            host = MerkleTree(values)
+        with use_config(
+            dataclasses.replace(get_config(), merkle_device_min_leaves=2)
+        ):
+            dev = MerkleTree(values)
+        assert dev.levels == host.levels
+        assert dev.root() == host.root()
+        path = dev.generate_proof(5)
+        assert path.verify(host.root(), values[5])

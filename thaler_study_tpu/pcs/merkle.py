@@ -47,12 +47,24 @@ class MerklePath:
 
 
 class MerkleTree:
-    """A complete binary Merkle tree over a power-of-two leaf list."""
+    """A complete binary Merkle tree over a power-of-two leaf list.
+
+    Above ``FrameworkConfig.merkle_device_min_leaves`` the build runs as
+    one device program — every level a batched SHA-256 compression
+    (ops/merkle_kernel.py) — with byte-identical digests; smaller trees
+    (and ``merkle_device_min_leaves = 0``) hash per node with hashlib.
+    """
 
     def __init__(self, values: Sequence[Felt]):
         n = len(values)
         assert n & (n - 1) == 0 and n > 0, "leaf count must be a power of two"
         self.values = list(values)
+        from ..utils.config import get_config
+
+        min_leaves = get_config().merkle_device_min_leaves
+        if min_leaves and n >= min_leaves:
+            self.levels = self._build_device(values)
+            return
         level = [_leaf_hash(v.to_bytes_le()) for v in values]
         self.levels = [level]
         while len(level) > 1:
@@ -61,6 +73,21 @@ class MerkleTree:
                 for i in range(0, len(level), 2)
             ]
             self.levels.append(level)
+
+    @staticmethod
+    def _build_device(values: Sequence[Felt]) -> List[List[bytes]]:
+        import numpy as np
+
+        from ..ops.merkle_kernel import build_tree_device
+
+        byte_size = values[0].field.byte_size
+        vals_le = np.frombuffer(
+            b"".join(v.to_bytes_le() for v in values), np.uint8
+        ).reshape(len(values), byte_size)
+        levels = build_tree_device(vals_le)
+        return [
+            [row.astype(">u4").tobytes() for row in lvl] for lvl in levels
+        ]
 
     def root(self) -> bytes:
         return self.levels[-1][0]

@@ -40,6 +40,9 @@ class FrameworkConfig:
     # GKR bookkeeping (LibraW phase tables + circuit forward pass) on device
     # (gkr/device_tables.py) instead of the host C++ runtime
     gkr_device_tables: bool = True
+    # PCS Merkle build: batched device SHA-256 (ops/merkle_kernel.py) above
+    # this leaf count; below it (or when 0 disables it) per-node hashlib
+    merkle_device_min_leaves: int = 64
     # persistent compilation cache directory ("" disables)
     compile_cache_dir: str = ".jax_cache"
 
@@ -60,6 +63,10 @@ class FrameworkConfig:
             kw["use_pallas"] = os.environ["THALER_PALLAS"] == "1"
         if os.environ.get("THALER_GKR_DEVICE"):
             kw["gkr_device_tables"] = os.environ["THALER_GKR_DEVICE"] == "1"
+        if os.environ.get("THALER_MERKLE_DEVICE_MIN"):
+            kw["merkle_device_min_leaves"] = int(
+                os.environ["THALER_MERKLE_DEVICE_MIN"]
+            )
         if os.environ.get("THALER_CACHE_DIR") is not None:
             kw["compile_cache_dir"] = os.environ.get(
                 "THALER_CACHE_DIR", cls.compile_cache_dir
