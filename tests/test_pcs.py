@@ -99,3 +99,72 @@ def test_device_merkle_matches_host(rng):
         assert dev.root() == host.root()
         path = dev.generate_proof(5)
         assert path.verify(host.root(), values[5])
+
+
+def test_merkle_multiproof(rng):
+    """Deduplicated batch openings verify, are smaller than k separate
+    paths, and reject tampering."""
+    from thaler_study_tpu.fields import GOLDILOCKS
+    from thaler_study_tpu.pcs.merkle import MerkleTree
+
+    n = 64
+    values = [GOLDILOCKS.felt(rng.randrange(GOLDILOCKS.p)) for _ in range(n)]
+    tree = MerkleTree(values)
+    height = len(tree.levels) - 1
+    for idxs in ([0], [5], [6, 7], [0, 1, 2, 3], [3, 17, 16, 60], list(range(n))):
+        multi = tree.generate_multi_proof(idxs)
+        leaves = [values[i] for i in multi.indices]
+        assert multi.verify(tree.root(), leaves)
+        assert len(multi.siblings) <= height * len(set(idxs))
+        # tamper: wrong leaf value
+        bad = list(leaves)
+        bad[0] = bad[0] + GOLDILOCKS.one()
+        assert not multi.verify(tree.root(), bad)
+    # full-tree opening needs no siblings at all
+    assert tree.generate_multi_proof(list(range(n))).siblings == []
+    # truncated / extended sibling streams rejected
+    multi = tree.generate_multi_proof([3, 17])
+    leaves = [values[3], values[17]]
+    import copy
+
+    short = copy.copy(multi)
+    short.siblings = multi.siblings[:-1]
+    assert not short.verify(tree.root(), leaves)
+    long = copy.copy(multi)
+    long.siblings = multi.siblings + [multi.siblings[0]]
+    assert not long.verify(tree.root(), leaves)
+
+
+def test_pcs_multi_opening(rng):
+    """Multi-opening flow: several agreement points on the random line are
+    checked against ONE batched Merkle multiproof."""
+    from thaler_study_tpu.pcs import Prover as PCSProver
+    from thaler_study_tpu.pcs import Verifier as PCSVerifier
+
+    num_vars, degree = 2, 1
+    evals = [F5.felt(rng.randrange(5)) for _ in range(1 << num_vars)]
+    poly = DenseMLE.from_evals_lsb(evals, num_vars, F5)
+    prover = PCSProver(poly)
+    verifier = PCSVerifier(num_vars, degree, prover.merkle_root())
+    srng = SeededRng(3)
+    b, c = verifier.random_line(srng, F5)
+    verifier.commited_univariate(prover.poly_restriction_to_line(b, c))
+    points = verifier.challenge_prover_many(srng, F5, 3)
+    multi, leaves = prover.challenge_many(points)
+    verifier.verify_prover_reply_many(multi, leaves)  # accepts
+
+    # cheating prover: restriction shifted by 1 fails some agreement point
+    verifier2 = PCSVerifier(num_vars, degree, prover.merkle_root())
+    srng2 = SeededRng(3)
+    b2, c2 = verifier2.random_line(srng2, F5)
+    shifted = prover.poly_restriction_to_line(b2, c2) + UniPoly(
+        [(0, F5.one())], F5
+    )
+    try:
+        verifier2.commited_univariate(shifted)
+    except DegreeMismatch:
+        return
+    points2 = verifier2.challenge_prover_many(srng2, F5, 3)
+    multi2, leaves2 = prover.challenge_many(points2)
+    with pytest.raises(EvalMismatch):
+        verifier2.verify_prover_reply_many(multi2, leaves2)

@@ -1,6 +1,6 @@
 """Relaxed polynomial commitment scheme (ref: relaxed-pcs crate)."""
 
-from .merkle import MerklePath, MerkleTree
+from .merkle import MerkleMultiPath, MerklePath, MerkleTree
 from .relaxed import (
     DegreeMismatch,
     EvalMismatch,
@@ -15,6 +15,7 @@ from .relaxed import (
 __all__ = [
     "MerkleTree",
     "MerklePath",
+    "MerkleMultiPath",
     "Prover",
     "Verifier",
     "PCSError",

@@ -46,6 +46,51 @@ class MerklePath:
         return h == root
 
 
+class MerkleMultiPath:
+    """Batch opening of several leaves with deduplicated siblings.
+
+    The single-leaf ``MerklePath`` costs height siblings per leaf; a batch
+    of k openings shares interior nodes, so the multiproof carries only the
+    frontier siblings no other opened leaf can reconstruct (the standard
+    Merkle multiproof). ``siblings`` is the flat digest list in the
+    deterministic bottom-up, index-ascending consumption order that
+    ``verify`` replays.
+    """
+
+    def __init__(self, indices: List[int], height: int, siblings: List[bytes]):
+        self.indices = list(indices)
+        self.height = height
+        self.siblings = list(siblings)
+
+    def verify(self, root: bytes, leaves: Sequence[Felt]) -> bool:
+        """Check that ``leaves`` (aligned with ``indices``) hash up to
+        ``root`` using the recorded siblings."""
+        if len(leaves) != len(self.indices):
+            return False
+        nodes = {
+            i: _leaf_hash(v.to_bytes_le())
+            for i, v in zip(self.indices, leaves)
+        }
+        stream = iter(self.siblings)
+        try:
+            for _ in range(self.height):
+                nxt = {}
+                for i in sorted(nodes):
+                    if i ^ 1 in nodes and i % 2 == 1:
+                        continue  # handled with its even partner
+                    sib = nodes[i ^ 1] if i ^ 1 in nodes else next(stream)
+                    left, right = (
+                        (nodes[i], sib) if i % 2 == 0 else (sib, nodes[i])
+                    )
+                    nxt[i // 2] = _node_hash(left, right)
+                nodes = nxt
+        except StopIteration:
+            return False
+        if next(stream, None) is not None:
+            return False  # trailing unused digests
+        return nodes == {0: root}
+
+
 class MerkleTree:
     """A complete binary Merkle tree over a power-of-two leaf list.
 
@@ -99,3 +144,21 @@ class MerkleTree:
             siblings.append(level[idx ^ 1])
             idx //= 2
         return MerklePath(index, self.levels[0][index], siblings)
+
+    def generate_multi_proof(self, indices: Sequence[int]) -> MerkleMultiPath:
+        """Batch opening of ``indices`` with shared siblings emitted once,
+        in the order MerkleMultiPath.verify consumes them."""
+        idxs = sorted(set(indices))
+        assert idxs, "at least one index"
+        siblings: List[bytes] = []
+        cur = idxs
+        for level in self.levels[:-1]:
+            known = set(cur)
+            for i in cur:
+                if i ^ 1 in known:
+                    if i % 2 == 1:
+                        continue
+                else:
+                    siblings.append(level[i ^ 1])
+            cur = sorted({i // 2 for i in cur})
+        return MerkleMultiPath(idxs, len(self.levels) - 1, siblings)

@@ -21,7 +21,7 @@ from ..gkr.protocol import line, restrict_poly
 from ..mle.dense import DenseMLE
 from ..sumcheck.hypercube import FeltRng
 from ..sumcheck.univariate import UniPoly
-from .merkle import MerklePath, MerkleTree
+from .merkle import MerkleMultiPath, MerklePath, MerkleTree
 
 
 class PCSError(Exception):
@@ -81,6 +81,17 @@ class Prover:
         idx = self.point_index[tuple(point)]
         return self.tree.generate_proof(idx), self.values[idx]
 
+    def challenge_many(
+        self, points: Sequence[Sequence[Felt]]
+    ) -> Tuple[MerkleMultiPath, List[Felt]]:
+        """Open several committed evaluations in one batched multiproof
+        (shared interior siblings emitted once). Leaves are returned in the
+        multiproof's sorted-index order."""
+        idxs = sorted({self.point_index[tuple(p)] for p in points})
+        return self.tree.generate_multi_proof(idxs), [
+            self.values[i] for i in idxs
+        ]
+
 
 class Verifier:
     """PCS verifier (ref :65-149)."""
@@ -125,3 +136,44 @@ class Verifier:
         evaluation = self.prover_univariate.evaluate(self.x)
         if leaf != evaluation:
             raise EvalMismatch(f"{leaf} != {evaluation}")
+
+    def challenge_prover_many(
+        self, rng: FeltRng, field: FieldConfig, count: int
+    ) -> List[List[Felt]]:
+        """Multi-opening: draw ``count`` distinct line parameters x_i and
+        return the points l(x_i). Checking q against the commitment at
+        several points of the same random line drives the soundness error
+        of the line-agreement check down from deg/|F| per the usual
+        distance amplification (each x_i is an independent agreement
+        test)."""
+        xs: List[Felt] = []
+        while len(xs) < count:
+            x = rng.draw(field)
+            if x not in xs:
+                xs.append(x)
+        self.xs = xs
+        self.points_many = [[l.evaluate(x) for l in self.line] for x in xs]
+        return [list(p) for p in self.points_many]
+
+    def verify_prover_reply_many(
+        self, multi: MerkleMultiPath, leaves: Sequence[Felt]
+    ) -> None:
+        """Verify a batched opening: one multiproof against the root, then
+        q(x_i) == leaf_i for every challenge point."""
+        if self.prover_univariate is None:
+            raise NoProverPoly()
+        if not multi.verify(self.merkle_root, leaves):
+            raise PCSError("merkle multiproof verification failed")
+        # map committed index -> expected q(x): recompute each point's index
+        by_index = {}
+        for x, pt in zip(self.xs, self.points_many):
+            idx = 0
+            for coord in pt:
+                idx = idx * coord.field.p + coord.v
+            by_index[idx] = self.prover_univariate.evaluate(x)
+        for idx, leaf in zip(multi.indices, leaves):
+            want = by_index.get(idx)
+            if want is None:
+                raise PCSError("opened leaf not among the challenge points")
+            if leaf != want:
+                raise EvalMismatch(f"{leaf} != {want}")
