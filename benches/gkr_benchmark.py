@@ -64,6 +64,10 @@ def main():
                          "(gkr/fused.py: two device dispatches per layer, "
                          "challenges from the on-device FS chain) and check "
                          "the transcript with verify_gkr_transcript")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="fused mode: sync after every per-layer dispatch "
+                         "and report phase1/phase2/pull totals (defeats "
+                         "pipelining; for profiling only)")
     ap.add_argument("--skip-verify", action="store_true",
                     help="fused mode: skip transcript verification (the "
                          "host verifier replay, timed separately anyway)")
@@ -101,8 +105,9 @@ def run_fused(args, circuit, inputs, F, prover, emit, t_forward):
     from thaler_study_tpu.gkr.fused import generate_gkr_transcript_fused
     from thaler_study_tpu.gkr.transcript import verify_gkr_transcript
 
+    timings = [] if args.breakdown else None
     t0 = time.perf_counter()
-    transcript = generate_gkr_transcript_fused(prover, F)
+    transcript = generate_gkr_transcript_fused(prover, F, timings=timings)
     t_prove = time.perf_counter() - t0
 
     ok = True
@@ -132,6 +137,25 @@ def run_fused(args, circuit, inputs, F, prover, emit, t_forward):
                 "breakdown": {
                     "forward_pass_s": round(t_forward, 3),
                     "fused_layers_s": round(t_prove, 3),
+                    **(
+                        {
+                            "phase1_s": round(
+                                sum(s for p, _, s in timings if p == "phase1"),
+                                3,
+                            ),
+                            "phase2_s": round(
+                                sum(s for p, _, s in timings if p == "phase2"),
+                                3,
+                            ),
+                            "final_pull_s": round(
+                                sum(s for p, _, s in timings if p == "pull"), 3
+                            ),
+                            "note": "per-dispatch sync defeats pipelining; "
+                            "phase totals exceed the pipelined wall time",
+                        }
+                        if timings
+                        else {}
+                    ),
                 },
                 "device": str(jax.devices()[0]),
             }

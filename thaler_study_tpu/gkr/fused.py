@@ -35,6 +35,7 @@ Scope: goldilocks, empty DST, every layer with k >= 2 variables.
 from __future__ import annotations
 
 import struct
+import time
 from functools import lru_cache
 from typing import List, Optional, Tuple
 
@@ -333,7 +334,9 @@ def supports_fused_gkr(circuit, field: FieldConfig, dst: bytes) -> bool:
     )
 
 
-def generate_gkr_transcript_fused(prover, field: FieldConfig, dst: bytes = b""):
+def generate_gkr_transcript_fused(
+    prover, field: FieldConfig, dst: bytes = b"", timings: Optional[list] = None
+):
     """Drop-in for generate_gkr_transcript: fused device proving with exact
     host fallback (unsupported configs, or a zero serialized coefficient).
 
@@ -345,13 +348,19 @@ def generate_gkr_transcript_fused(prover, field: FieldConfig, dst: bytes = b""):
     circuit = prover.circuit
     if not supports_fused_gkr(circuit, field, dst):
         return generate_gkr_transcript(prover, field, dst)
-    msgs = _prove_fused(prover, field)
+    msgs = _prove_fused(prover, field, timings=timings)
     if msgs is None:  # zero-coefficient fallback (probability ~ rounds/p)
         return generate_gkr_transcript(prover, field, dst)
     return GKRTranscript(msgs)
 
 
-def _prove_fused(prover, field: FieldConfig) -> Optional[List[bytes]]:
+def _prove_fused(
+    prover, field: FieldConfig, timings: Optional[list] = None
+) -> Optional[List[bytes]]:
+    """``timings``, when given, receives ("phase1"|"phase2"|"pull", layer,
+    seconds) tuples with a device sync after every dispatch — the fused-path
+    cost breakdown (benches/gkr_benchmark.py --breakdown). Syncing defeats
+    the cross-layer pipelining, so only profile runs pass it."""
     from ..runtime import sha256_midstate
     from ..fiat_shamir.hash_to_field import DefaultFieldHasher
     from .transcript import serialize_gkr_message
@@ -385,6 +394,7 @@ def _prove_fused(prover, field: FieldConfig) -> Optional[List[bytes]]:
 
     r_i = FArray.from_ints(np.array([f.v for f in r0], dtype=object), field)
     outs = []
+    timings_t0 = [time.perf_counter()]
     for i in range(num_layers):
         k_cur = circuit.num_vars_at(i)
         k = circuit.num_vars_at(i + 1)
@@ -398,16 +408,29 @@ def _prove_fused(prover, field: FieldConfig) -> Optional[List[bytes]]:
             state, buf, nbytes, jnp.uint32(i), r_i, w_lsb, b_idx, c_idx, is_mul
         )
         state, buf, nbytes, c1, a_lo, a_hi, u, eq_r, az_a = a
+        if timings is not None:
+            jax.block_until_ready(state)
+            now = time.perf_counter()
+            timings.append(("phase1", i, now - timings_t0[0]))
+            timings_t0[0] = now
         b = _layer_phase2_jit(k, g, field)(
             state, buf, nbytes, u, a_lo[-1], a_hi[-1], w_lsb, eq_r, b_idx,
             c_idx, is_mul,
         )
         state, buf, nbytes = b[0], b[1], b[2]
         r_i = b[9]
+        if timings is not None:
+            jax.block_until_ready(state)
+            now = time.perf_counter()
+            timings.append(("phase2", i, now - timings_t0[0]))
+            timings_t0[0] = now
         outs.append((k, c1, a_lo, a_hi) + tuple(b[3:9]) + (az_a, b[10]))
 
     # ONE synchronization point: pull every layer's coefficients
     pulled = jax.tree_util.tree_map(np.asarray, outs)
+    if timings is not None:
+        now = time.perf_counter()
+        timings.append(("pull", -1, now - timings_t0[0]))
     msgs = [begin_raw]
     for i, row in enumerate(pulled):
         (k, c1, a_lo, a_hi, b_lo, b_hi, p_lo, p_hi, q_lo, q_hi, az_a, az_b) = row
