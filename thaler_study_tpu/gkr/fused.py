@@ -203,9 +203,13 @@ def _layer_phase2_jit(k: int, g: int, field: FieldConfig):
     unroll = default_unroll()
 
     def impl(
-        state, buf, nbytes, u, last_lo, last_hi, w_lsb, eq_r, b_idx, c_idx,
+        state, buf, nbytes, u, a_lo, a_hi, w_lsb, eq_r, b_idx, c_idx,
         is_mul,
     ):
+        # phase 1's full coefficient rows come in; the claim seed needs only
+        # the last row — slice INSIDE the jit (an eager host-side slice
+        # would be its own remote dispatch per layer through the tunnel)
+        last_lo, last_hi = a_lo[-1], a_hi[-1]
         chain = DevChain(state, buf, nbytes, unroll)
         b1_lsb, b2_lsb, w_u = phase2_tables(
             u, w_lsb, eq_r, b_idx, c_idx, is_mul, k
@@ -314,6 +318,15 @@ def _layer_phase2_jit(k: int, g: int, field: FieldConfig):
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
+def _pack_outputs(xs):
+    """Concatenate arbitrary uint32/bool arrays into one flat uint32 vector
+    (ONE device-to-host transfer for the whole proof)."""
+    return jnp.concatenate(
+        [jnp.ravel(x).astype(jnp.uint32) for x in xs]
+    )
+
+
 def _felt_bytes_host(lo: int, hi: int) -> bytes:
     return (int(lo) | (int(hi) << 32)).to_bytes(8, "little")
 
@@ -392,17 +405,25 @@ def _prove_fused(
     buf = jnp.asarray(buf_np)
     nbytes = jnp.uint32(len(begin_raw))
 
+    # wiring tables live on device once per prover, not once per proof
+    # (re-sending 3 x width indices per layer per run dominates warm-run
+    # enqueue time through a remote tunnel)
+    wiring_dev = getattr(prover, "_wiring_dev", None)
+    if wiring_dev is None:
+        wiring_dev = [
+            tuple(jnp.asarray(w) for w in circuit._wiring[i])
+            for i in range(num_layers)
+        ]
+        prover._wiring_dev = wiring_dev
+
     r_i = FArray.from_ints(np.array([f.v for f in r0], dtype=object), field)
     outs = []
     timings_t0 = [time.perf_counter()]
     for i in range(num_layers):
         k_cur = circuit.num_vars_at(i)
         k = circuit.num_vars_at(i + 1)
-        b_idx, c_idx, is_mul = circuit._wiring[i]
+        b_idx, c_idx, is_mul = wiring_dev[i]
         g = len(b_idx)
-        b_idx = jnp.asarray(b_idx)
-        c_idx = jnp.asarray(c_idx)
-        is_mul = jnp.asarray(is_mul)
         w_lsb = layers_dev[i + 1]
         a = _layer_phase1_jit(k_cur, k, g, field)(
             state, buf, nbytes, jnp.uint32(i), r_i, w_lsb, b_idx, c_idx, is_mul
@@ -414,7 +435,7 @@ def _prove_fused(
             timings.append(("phase1", i, now - timings_t0[0]))
             timings_t0[0] = now
         b = _layer_phase2_jit(k, g, field)(
-            state, buf, nbytes, u, a_lo[-1], a_hi[-1], w_lsb, eq_r, b_idx,
+            state, buf, nbytes, u, a_lo, a_hi, w_lsb, eq_r, b_idx,
             c_idx, is_mul,
         )
         state, buf, nbytes = b[0], b[1], b[2]
@@ -426,8 +447,19 @@ def _prove_fused(
             timings_t0[0] = now
         outs.append((k, c1, a_lo, a_hi) + tuple(b[3:9]) + (az_a, b[10]))
 
-    # ONE synchronization point: pull every layer's coefficients
-    pulled = jax.tree_util.tree_map(np.asarray, outs)
+    # ONE synchronization point AND one transfer: concatenate every layer's
+    # outputs into a single uint32 vector on device (per-array np.asarray
+    # would pay one tunnel round-trip per array — ~200 of them)
+    arrs = [x for row in outs for x in row[1:]]
+    flat = np.asarray(_pack_outputs(tuple(arrs)))
+    vals = []
+    off = 0
+    for x in arrs:
+        size = int(np.prod(x.shape)) if x.shape else 1
+        vals.append(flat[off : off + size].reshape(x.shape))
+        off += size
+    it = iter(vals)
+    pulled = [(row[0],) + tuple(next(it) for _ in row[1:]) for row in outs]
     if timings is not None:
         now = time.perf_counter()
         timings.append(("pull", -1, now - timings_t0[0]))
