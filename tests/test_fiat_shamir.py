@@ -201,3 +201,23 @@ def test_resume_transcript_byte_identical(rng):
             FiatShamirTranscript([bytes(bad)] + full.g[1:2]),
             verify_prefix=True,
         )
+
+
+def test_xmd_chain_matches_full_rehash():
+    """XmdChain (carried SHA-256 midstate) must be byte-identical to
+    DefaultFieldHasher over the full running concatenation, for arbitrary
+    absorb chunkings, draw counts, and DSTs (incl. oversize)."""
+    from thaler_study_tpu.fiat_shamir.hash_to_field import XmdChain
+
+    rng = random.Random(0xC4A1)
+    for field in (F389, GOLDILOCKS):
+        for dst in (b"", b"thaler-tpu", bytes(range(256))):
+            chain = XmdChain(field, dst)
+            hasher = DefaultFieldHasher(field, dst)
+            msg = bytearray()
+            for _ in range(12):
+                chunk = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+                chain.absorb(chunk)
+                msg.extend(chunk)
+                count = rng.randrange(0, 4)
+                assert chain.draw(count) == hasher.hash_to_field(bytes(msg), count)

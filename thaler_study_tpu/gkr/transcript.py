@@ -41,7 +41,7 @@ from __future__ import annotations
 import struct
 from typing import List, Optional, Tuple
 
-from ..fiat_shamir.hash_to_field import DefaultFieldHasher
+from ..fiat_shamir.hash_to_field import XmdChain
 from ..fiat_shamir.serialize import (
     deserialize_felt,
     deserialize_unipoly,
@@ -143,21 +143,23 @@ class GKRTranscript(FiatShamirTranscript):
 
 
 class _Chain:
-    """The running-concat hash chain (ref fiat-shamir/src/lib.rs:82-93)."""
+    """The running-concat hash chain (ref fiat-shamir/src/lib.rs:82-93).
+
+    Carries a SHA-256 midstate over the absorbed prefix (XmdChain) so each
+    challenge draw hashes only the new bytes — O(T) total over a T-byte
+    transcript instead of the reference's O(T^2) re-hash per challenge.
+    Byte-identical to hashing the full running concatenation."""
 
     def __init__(self, field: FieldConfig, dst: bytes):
-        self.hasher = DefaultFieldHasher(field, dst)
-        self.hash_input = bytearray()
+        self.xmd = XmdChain(field, dst)
         self.messages: List[bytes] = []
 
     def push(self, raw: bytes) -> None:
         self.messages.append(raw)
-        self.hash_input.extend(raw)
+        self.xmd.absorb(raw)
 
     def draw(self, count: int) -> List[Felt]:
-        if count == 0:
-            return []
-        return self.hasher.hash_to_field(bytes(self.hash_input), count)
+        return self.xmd.draw(count)
 
 
 def _next_layer_point(prover: Prover, r_star: Felt) -> List[Felt]:

@@ -21,7 +21,7 @@ Two offset modes, same byte semantics:
   the whole proof is one program, every message length is static).
 - **traced**: ``nbytes`` is a uint32 scalar (fused GKR layers — one compiled
   program serves every layer, whose transcript offsets differ; block counts
-  are handled with predicated compressions). See ops/gkr_fs_kernel.py.
+  are handled with predicated compressions). See gkr/fused.py.
 
 Scope: empty DST (the reference's test config, dst_prime = [0]) and
 len_in_bytes <= 0xFFFF. Bit-exactness vs the host hasher
