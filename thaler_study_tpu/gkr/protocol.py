@@ -296,14 +296,22 @@ class _RunningSumCheck:
 
 
 class Verifier:
-    """GKR verifier (ref :38-218)."""
+    """GKR verifier (ref :38-218).
 
-    def __init__(self, circuit: Circuit, field: FieldConfig):
+    ``strict`` closes the reference's two documented soundness gaps —
+    the unchecked degree of the line-restriction polynomial q (ref TODO at
+    gkr-protocol/src/lib.rs:149-151) and the missing inner-sumcheck degree
+    bound / final-round sum-consistency (see sumcheck.Verifier). Default
+    mode stays behavior-identical to the reference.
+    """
+
+    def __init__(self, circuit: Circuit, field: FieldConfig, strict: bool = False):
         self.circuit = circuit
         self.field = field
         self.r: List[List[Felt]] = []
         self.m: List[Felt] = []
         self.state: Optional[_RunningSumCheck] = None
+        self.strict = strict
 
     # -- message dispatch (ref :177-207) --
     def receive_prover_msg(self, msg, rng: FeltRng):
@@ -329,7 +337,12 @@ class Verifier:
         """Set up an oracle-less inner verifier (ref :89-105); the wiring
         predicates are evaluated sparsely at the end instead of being
         materialized as 2^(2k) tables up front."""
-        verifier = SumCheckVerifier(num_vars, None)
+        verifier = SumCheckVerifier(
+            num_vars,
+            None,
+            max_degree=2 if self.strict else None,  # W rounds are degree-2
+            strict=self.strict,
+        )
         verifier.set_c_1(c_1)
         self.state = _RunningSumCheck(verifier, round_i, list(self.r[-1]))
         return RoundStarted(round_i)
@@ -372,12 +385,35 @@ class Verifier:
         """Check add~(bc)(q(0)+q(1)) + mul~(bc) q(0) q(1) == p(r_last), then
         reduce two claims to one via the line trick (ref :139-174).
 
-        Like the reference (TODO at :149-151), q's degree is not checked —
-        a documented fidelity gap."""
+        Like the reference (TODO at :149-151), q's degree is not checked by
+        default — a documented fidelity gap; ``strict`` mode enforces
+        deg(q) <= k (the restriction of a k-variable multilinear W along a
+        line has degree at most k) and the final-round sum-consistency the
+        reference also omits."""
         if self.state is None:
             raise WrongVerifierState()
         st = self.state
         zero, one = self.field.zero(), self.field.one()
+        if self.strict:
+            k = len(st.bc) // 2
+            if q.degree() > k:
+                raise GKRError(
+                    f"strict: deg(q) = {q.degree()} exceeds the line-"
+                    f"restriction bound {k}"
+                )
+            inner = st.verifier
+            if inner.g_part:
+                prev = inner.g_part[-1].evaluate(inner.r[-1])
+                cur = p.evaluate(zero) + p.evaluate(one)
+                if prev != cur:
+                    raise GKRError(
+                        "strict: final-round sum consistency failed"
+                    )
+            if p.degree() > 2:
+                raise GKRError(
+                    f"strict: deg(p) = {p.degree()} exceeds the W-round "
+                    "bound 2"
+                )
         q_0, q_1 = q.evaluate(zero), q.evaluate(one)
         add_at_bc, mul_at_bc = self._wiring_at(st)
         evaluation = add_at_bc * (q_0 + q_1) + mul_at_bc * (q_0 * q_1)

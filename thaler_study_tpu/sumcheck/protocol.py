@@ -130,6 +130,7 @@ class Verifier(Generic[P]):
         n: int,
         g: Optional[P] = None,
         max_degree: Optional[int] = None,
+        strict: bool = False,
     ):
         self.n = n
         self.c_1: Optional[Felt] = None
@@ -139,6 +140,13 @@ class Verifier(Generic[P]):
         # Optional strict mode: the reference never bounds deg(g_j) (its
         # documented soundness gap); passing max_degree enforces it.
         self.max_degree = max_degree
+        # ``strict`` additionally closes the reference's missing FINAL-round
+        # sum-consistency check (ref :298-310 only tests the oracle
+        # evaluation; a cheating prover who can predict r_n — e.g. under a
+        # seeded rng — could send g_n with the right g_n(r_n) but an
+        # inconsistent g_n(0) + g_n(1)). Default mode stays
+        # behavior-identical to the reference.
+        self.strict = strict
 
     def set_c_1(self, c_1: Felt):
         self.c_1 = c_1
@@ -165,6 +173,15 @@ class Verifier(Generic[P]):
 
         if len(self.r) == self.n - 1:
             # last round: oracle check g_n(r_n) = g(r_1..r_n) (ref :298-310)
+            if self.strict and self.g_part:
+                # strict mode: the sum-consistency check the reference
+                # omits in its final round
+                prev_evaluation = self.g_part[-1].evaluate(self.r[-1])
+                evaluation = g_j.evaluate(zero) + g_j.evaluate(one)
+                if prev_evaluation != evaluation:
+                    raise ProverClaimMismatch(
+                        f"final-round {prev_evaluation}", f"{evaluation}"
+                    )
             self.r.append(r_j)
             if self.g is None:
                 raise NoPolySet()
