@@ -55,11 +55,21 @@ def main():
     ap.add_argument("--vars", type=int, default=23)
     ap.add_argument("--factors", type=int, default=2)
     ap.add_argument("--reps", type=int, default=50)
+    ap.add_argument(
+        "--karatsuba",
+        action="store_true",
+        help="use the 3-mul Karatsuba 64x64 limb product "
+        "(fields/goldilocks.set_karatsuba) — run in a fresh process",
+    )
     args = ap.parse_args()
 
     import numpy as np
 
     from thaler_study_tpu.fields import GOLDILOCKS, FArray
+    from thaler_study_tpu.fields import goldilocks as gl
+
+    if args.karatsuba:
+        gl.set_karatsuba(True)
     from thaler_study_tpu.ops.round_kernel import PolySpec, _round_step_jit
 
     field = GOLDILOCKS
@@ -157,6 +167,7 @@ def main():
         json.dumps(
             {
                 "bench": "fused_round_roofline",
+                "mul_words": "karatsuba" if args.karatsuba else "schoolbook",
                 "points": 1 << n,
                 "factors": k,
                 "element_bytes": elem_bytes,

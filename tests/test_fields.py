@@ -128,3 +128,36 @@ def test_fuzz_mul_randomized():
         got = (a * b).to_ints()
         want = [(x * y) % field.p for x, y in zip(a_vals, b_vals)]
         assert [int(v) for v in got] == want
+
+
+def test_karatsuba_mul_words_identical():
+    """The 3-mul Karatsuba 64x64 limb product produces the exact same
+    four product words as the schoolbook path — on random inputs and on
+    every all-ones/zero corner (so flipping the switch can never change a
+    transcript byte)."""
+    import jax.numpy as jnp
+
+    from thaler_study_tpu.fields import goldilocks as gl
+
+    rng = random.Random(7)
+    corners = [0, 1, 0xFFFFFFFF, 0xFFFF0000, 0x0000FFFF, 0x80000000]
+    vals = [
+        (rng.randrange(1 << 32), rng.randrange(1 << 32),
+         rng.randrange(1 << 32), rng.randrange(1 << 32))
+        for _ in range(2048)
+    ] + [(a, b, c, d) for a in corners for b in corners[:3]
+         for c in corners[:3] for d in corners[:3]]
+    cols = [jnp.asarray(np.array(c, dtype=np.uint32)) for c in zip(*vals)]
+    school = gl._mul_words_school(*cols)
+    kara = gl._mul_words_karatsuba(*cols)
+    for s, k in zip(school, kara):
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(k))
+    # and the full 128-bit value matches python bigints
+    w = [np.asarray(x, dtype=np.uint64) for x in kara]
+    for i, (alo, ahi, blo, bhi) in enumerate(vals):
+        a = alo | (ahi << 32)
+        b = blo | (bhi << 32)
+        got = int(w[0][i]) | (int(w[1][i]) << 32) | (int(w[2][i]) << 64) | (
+            int(w[3][i]) << 96
+        )
+        assert got == a * b

@@ -93,7 +93,28 @@ def neg(alo, ahi):
 
 
 def _mul_words(alo, ahi, blo, bhi):
-    """Full 64x64 -> 128-bit product as four uint32 words (w0..w3)."""
+    """Full 64x64 -> 128-bit product as four uint32 words (w0..w3).
+
+    Dispatches on the module switch ``use_karatsuba`` (see
+    :func:`set_karatsuba`): schoolbook = four 32x32 products, karatsuba =
+    three plus extra carry bookkeeping. Both produce the identical exact
+    words, so the switch can never change a transcript byte."""
+    if _USE_KARATSUBA[0]:
+        return _mul_words_karatsuba(alo, ahi, blo, bhi)
+    return _mul_words_school(alo, ahi, blo, bhi)
+
+
+def set_karatsuba(on: bool) -> None:
+    """Select the 3-mul Karatsuba 64x64 limb product. Callers must clear
+    jit caches themselves if flipping mid-process (benchmarks only)."""
+    _USE_KARATSUBA[0] = on
+
+
+_USE_KARATSUBA = [False]
+
+
+def _mul_words_school(alo, ahi, blo, bhi):
+    """Schoolbook 64x64 -> 128: four 32x32 partial products."""
     h0, l0 = mul32_hilo(alo, blo)
     h1, l1 = mul32_hilo(alo, bhi)
     h2, l2 = mul32_hilo(ahi, blo)
@@ -111,6 +132,53 @@ def _mul_words(alo, ahi, blo, bhi):
     w2 = acc2
     w3 = h3 + da + db + dc  # exact: total product < 2^128
     return w0, w1, w2, w3
+
+
+def _mul_words_karatsuba(alo, ahi, blo, bhi):
+    """Karatsuba 64x64 -> 128: THREE 32x32 products instead of four
+    (VERDICT r2 next-round #4 — the round kernel is VPU-multiply bound).
+
+    mid = alo*bhi + ahi*blo is recovered as (alo+ahi)(blo+bhi) - ll - hh.
+    The 33-bit sums are carried as (u32, carry-bit); the cross terms the
+    carries drop are added back as predicated 2^32-offset adds (selects,
+    not multiplies). All words exact — output identical to _mul_words.
+    """
+    hl0, ll0 = mul32_hilo(alo, blo)  # ll = alo*blo
+    hh1, lh1 = mul32_hilo(ahi, bhi)  # hh = ahi*bhi
+    sa, ca = _carry_add(alo, ahi)
+    sb, cb = _carry_add(blo, bhi)
+    sh, sl = mul32_hilo(sa, sb)
+    zero = jnp.zeros_like(alo)
+    # m (96-bit, m2 <= 3 transiently) = sa*sb + ca*sb*2^32 + cb*sa*2^32
+    #                                 + ca*cb*2^64
+    m0 = sl
+    m1, c0 = _carry_add(sh, jnp.where(ca == 1, sb, zero))
+    m2 = (ca & cb) + c0
+    m1, c1 = _carry_add(m1, jnp.where(cb == 1, sa, zero))
+    m2 = m2 + c1
+    # m -= ll (96-bit borrow chain); true mid >= 0 so m2 cannot underflow
+    m0, b0 = _sub_borrow(m0, ll0)
+    m1, b1 = _sub_borrow(m1, hl0)
+    m1, b2 = _sub_borrow(m1, b0)
+    m2 = m2 - b1 - b2
+    # m -= hh
+    m0, b0 = _sub_borrow(m0, lh1)
+    m1, b1 = _sub_borrow(m1, hh1)
+    m1, b2 = _sub_borrow(m1, b0)
+    m2 = m2 - b1 - b2  # now m2 in {0, 1}: mid < 2^65
+    # words: (ll) + (mid << 32) + (hh << 64)
+    w0 = ll0
+    w1, c0 = _carry_add(hl0, m0)
+    w2, c1 = _carry_add(lh1, m1)
+    w2, c2 = _carry_add(w2, c0)
+    w3 = hh1 + m2 + c1 + c2  # exact: total product < 2^128
+    return w0, w1, w2, w3
+
+
+def _sub_borrow(x, y):
+    """(x - y) wrapping uint32, plus borrow-out in {0,1}."""
+    d = x - y
+    return d, (x < y).astype(U32)
 
 
 def _reduce128(w0, w1, w2, w3):
