@@ -192,3 +192,41 @@ def test_device_scatter_and_eq_exact(rng):
             jnp.asarray(idx), FArray.from_ints(vals, field), size
         )
         assert [int(v) for v in dev.to_ints()] == [int(v) for v in host]
+
+
+def test_gather_plan_matches_scatter():
+    """The host-precomputed gather plan (scatter inverted to dense gathers
+    + 16-bit lane sums) produces the exact scatter_add_mod_many grids,
+    including empty cells, repeated indices, and multi-table packing."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from thaler_study_tpu.fields import GOLDILOCKS, FArray
+    from thaler_study_tpu.gkr.device_tables import (
+        gather_add_mod_many,
+        gather_plan,
+        scatter_add_mod_many,
+    )
+
+    rng = np.random.default_rng(3)
+    g, size = 300, 64
+    idx = jnp.asarray(
+        np.concatenate(
+            [rng.integers(0, size, g - 8), np.full(8, 17)]  # hot cell
+        ).astype(np.int32)
+    )
+    vals = [
+        FArray(
+            (
+                jnp.asarray(rng.integers(0, 1 << 32, g).astype(np.uint32)),
+                jnp.asarray(rng.integers(0, 1 << 31, g).astype(np.uint32)),
+            ),
+            GOLDILOCKS,
+        )
+        for _ in range(2)
+    ]
+    want = scatter_add_mod_many(np.asarray(idx), tuple(vals), size)
+    plan = jnp.asarray(gather_plan(np.asarray(idx), size))
+    got = gather_add_mod_many(plan, tuple(vals))
+    for w, a in zip(want, got):
+        assert [int(x) for x in w.to_ints()] == [int(x) for x in a.to_ints()]

@@ -60,6 +60,119 @@ def _scale_raw(arr: jnp.ndarray, c: int, field: FieldConfig) -> FArray:
     return FArray((res,), field)
 
 
+def scatter_add_mod_many(
+    idx: jnp.ndarray,
+    vals_list: Sequence[FArray],
+    size: int,
+    lane_bits: int = 8,
+) -> Tuple[FArray, ...]:
+    """grid_v[idx[g]] += vals_list[v][g] (mod p) for several value arrays
+    sharing one index vector, over fresh zero grids, on device.
+
+    All ``lane_bits``-bit lanes of every limb of every value array are
+    packed into ONE ``segment_sum`` over a [g, lanes] block (a single
+    scatter pass instead of 8 per limb-pair table — the dominant fused-GKR
+    layer cost per the r2 --breakdown). Exactness bound per grid cell:
+    (2^lane_bits - 1) * contributions < 2^32, i.e. up to 2^24
+    contributions at 8-bit lanes, 2^16 at 16-bit. Callers that know the
+    max scatter fan-in statically (gate wiring) pick 16-bit lanes to halve
+    the scatter traffic (see ``wiring_lane_bits``).
+    """
+    field = vals_list[0].field
+    per_limb = 32 // lane_bits
+    mask = U32((1 << lane_bits) - 1)
+    lanes = []
+    for vals in vals_list:
+        for limb in vals.limbs:
+            for s in range(per_limb):
+                lanes.append((limb >> U32(lane_bits * s)) & mask)
+    data = jnp.stack(lanes, axis=1)  # [g, n_vals * n_limbs * per_limb]
+    seg = jax.ops.segment_sum(data, idx, num_segments=size)
+    out = []
+    col = 0
+    for vals in vals_list:
+        acc = None
+        for limb_i in range(len(vals.limbs)):
+            for s in range(per_limb):
+                part = _scale_raw(
+                    seg[:, col], 1 << (32 * limb_i + lane_bits * s), field
+                )
+                acc = part if acc is None else acc + part
+                col += 1
+        out.append(acc)
+    return tuple(out)
+
+
+def gather_plan(idx: np.ndarray, size: int) -> np.ndarray:
+    """Host-precomputed inverse of a static scatter: plan[cell, slot] = the
+    gate ids contributing to ``cell`` (padded with len(idx) = a zero row).
+
+    TPU scatters (jax.ops.segment_sum) serialize badly on the VPU; gate
+    wiring is STATIC per circuit, so the scatter-add inverts once on the
+    host into a dense [size, max_fanin] gather + an axis-1 lane reduction —
+    all contiguous TPU-friendly reads (see gather_add_mod_many). Cached by
+    callers alongside the wiring uploads."""
+    idx = np.asarray(idx, dtype=np.int64)
+    g = len(idx)
+    counts = np.bincount(idx, minlength=size)
+    maxf = int(counts.max()) if g else 1
+    starts = np.zeros(size + 1, np.int64)
+    starts[1:] = np.cumsum(counts)
+    order = np.argsort(idx, kind="stable").astype(np.int64)
+    plan = np.full((size, max(maxf, 1)), g, np.int32)
+    sorted_idx = idx[order]
+    pos_in_cell = np.arange(g, dtype=np.int64) - starts[sorted_idx]
+    plan[sorted_idx, pos_in_cell] = order.astype(np.int32)
+    return plan
+
+
+def gather_add_mod_many(
+    plan: jnp.ndarray, vals_list: Sequence[FArray]
+) -> Tuple[FArray, ...]:
+    """grid_v[cell] = sum over plan[cell, :] of vals_list[v][gate] (mod p)
+    — the gather-formulated scatter-add (see :func:`gather_plan`).
+
+    Each value array is zero-padded by one row (the pad target), gathered
+    to [size, max_fanin] per 16-bit lane, and native-summed along axis 1 —
+    exact because max_fanin <= 2^16 (callers fall back to segment_sum
+    otherwise) so lane sums stay below 2^32.
+    """
+    field = vals_list[0].field
+    out = []
+    for vals in vals_list:
+        acc = None
+        for limb_i, limb in enumerate(vals.limbs):
+            padded = jnp.concatenate(
+                [limb, jnp.zeros((1,), limb.dtype)]
+            )
+            rows = jnp.take(padded, plan, axis=0)  # [size, maxf]
+            for s in range(2):
+                lane = (rows >> U32(16 * s)) & U32(0xFFFF)
+                seg = jnp.sum(lane, axis=1, dtype=jnp.uint32)
+                part = _scale_raw(seg, 1 << (32 * limb_i + 16 * s), field)
+                acc = part if acc is None else acc + part
+        out.append(acc)
+    return tuple(out)
+
+
+# gather plans above this fan-in would waste 2^k x max_fanin memory on a
+# skewed wiring; such layers keep the segment_sum path
+MAX_PLAN_FANIN = 64
+
+
+def wiring_lane_bits(b_idx: np.ndarray, c_idx: np.ndarray) -> int:
+    """The widest exact scatter lane for a layer's wiring: 16-bit lanes
+    when no wire feeds more than 2^16 gates (the common case — halves the
+    segment_sum traffic), else the always-safe 8-bit lanes (exact to 2^24
+    gates per wire, the documented layer bound)."""
+    fanin = 0
+    for idx in (b_idx, c_idx):
+        counts = np.bincount(np.asarray(idx, dtype=np.int64))
+        if counts.size:
+            fanin = max(fanin, int(counts.max()))
+    return 16 if fanin <= (1 << 16) else 8
+
+
 def scatter_add_mod(
     idx: jnp.ndarray, vals: FArray, size: int
 ) -> FArray:
@@ -67,15 +180,7 @@ def scatter_add_mod(
 
     Exact for up to 2^24 contributions per grid cell (see module docstring).
     """
-    field = vals.field
-    acc = None
-    for limb_i, limb in enumerate(vals.limbs):
-        for s in range(4):
-            lane = (limb >> U32(8 * s)) & U32(0xFF)
-            seg = jax.ops.segment_sum(lane, idx, num_segments=size)
-            part = _scale_raw(seg, 1 << (32 * limb_i + 8 * s), field)
-            acc = part if acc is None else acc + part
-    return acc
+    return scatter_add_mod_many(idx, (vals,), size)[0]
 
 
 def eq_table_dev(r: FArray, n: int) -> FArray:
@@ -112,9 +217,21 @@ def dot_mod(a: FArray, b: FArray) -> FArray:
 # ---------------------------------------------------------------------------
 
 
-def phase1_tables(r_i, w_lsb, b_idx, c_idx, is_mul, k_cur: int, k: int):
+def phase1_tables(
+    r_i,
+    w_lsb,
+    b_idx,
+    c_idx,
+    is_mul,
+    k_cur: int,
+    k: int,
+    lane_bits: int = 8,
+    b_plan=None,
+):
     """Traceable LibraW phase-1 build:
-    (r_i [k_cur], w_lsb [2^k], wiring) -> (a1_lsb, a2_lsb, eq_r [2^k_cur])."""
+    (r_i [k_cur], w_lsb [2^k], wiring) -> (a1_lsb, a2_lsb, eq_r [2^k_cur]).
+    ``b_plan`` (see :func:`gather_plan`) replaces the segment_sum scatter
+    with dense gathers when given."""
     eq_r = eq_table_dev(r_i, k_cur)
     g = b_idx.shape[0]
     eq_r_g = eq_r[:g] if eq_r.shape[0] != g else eq_r
@@ -134,14 +251,30 @@ def phase1_tables(r_i, w_lsb, b_idx, c_idx, is_mul, k_cur: int, k: int):
         tuple(jnp.where(mask, jnp.zeros_like(l), l) for l in eqr_w.limbs),
         w_lsb.field,
     )
-    a1 = scatter_add_mod(b_idx, vals_a1, 1 << k)
-    a2 = scatter_add_mod(b_idx, vals_a2, 1 << k)
+    if b_plan is not None:
+        a1, a2 = gather_add_mod_many(b_plan, (vals_a1, vals_a2))
+    else:
+        a1, a2 = scatter_add_mod_many(
+            b_idx, (vals_a1, vals_a2), 1 << k, lane_bits=lane_bits
+        )
     return a1, a2, eq_r
 
 
-def phase2_tables(u, w_lsb, eq_r, b_idx, c_idx, is_mul, k: int):
+def phase2_tables(
+    u,
+    w_lsb,
+    eq_r,
+    b_idx,
+    c_idx,
+    is_mul,
+    k: int,
+    lane_bits: int = 8,
+    c_plan=None,
+):
     """Traceable LibraW phase-2 build:
-    (u [k], w_lsb [2^k], eq_r, wiring) -> (b1_lsb, b2_lsb, w_u [1])."""
+    (u [k], w_lsb [2^k], eq_r, wiring) -> (b1_lsb, b2_lsb, w_u [1]).
+    ``c_plan`` (see :func:`gather_plan`) replaces the segment_sum scatter
+    with dense gathers when given."""
     eq_u = eq_table_dev(u, k)
     g = b_idx.shape[0]
     eq_r_g = eq_r[:g] if eq_r.shape[0] != g else eq_r
@@ -154,30 +287,77 @@ def phase2_tables(u, w_lsb, eq_r, b_idx, c_idx, is_mul, k: int):
         tuple(jnp.where(is_mul, l, jnp.zeros_like(l)) for l in t.limbs),
         w_lsb.field,
     )
-    b1 = scatter_add_mod(c_idx, vals_b1, 1 << k)
-    b2 = scatter_add_mod(c_idx, vals_b2, 1 << k)
+    if c_plan is not None:
+        b1, b2 = gather_add_mod_many(c_plan, (vals_b1, vals_b2))
+    else:
+        b1, b2 = scatter_add_mod_many(
+            c_idx, (vals_b1, vals_b2), 1 << k, lane_bits=lane_bits
+        )
     w_u = dot_mod(w_lsb, eq_u).reshape((1,))
     return b1, b2, w_u
 
 
+def wiring_plan_or_none(idx: np.ndarray, size: int):
+    """The gather plan for one scatter key, or None when the wiring's max
+    fan-in exceeds MAX_PLAN_FANIN (skewed layers keep segment_sum)."""
+    counts = np.bincount(np.asarray(idx, dtype=np.int64), minlength=size)
+    if counts.size and int(counts.max()) > MAX_PLAN_FANIN:
+        return None
+    return gather_plan(idx, size)
+
+
 @lru_cache(maxsize=None)
-def _phase1_jit(k_cur: int, k: int, field: FieldConfig):
-    """(r_i [k_cur], w_lsb [2^k], b_idx, c_idx, is_mul) ->
+def _phase1_jit(
+    k_cur: int,
+    k: int,
+    field: FieldConfig,
+    lane_bits: int = 8,
+    use_plan: bool = False,
+):
+    """(r_i [k_cur], w_lsb [2^k], b_idx, c_idx, is_mul[, b_plan]) ->
     (a1_lsb, a2_lsb, eq_r [2^k_cur])."""
 
-    def impl(r_i, w_lsb, b_idx, c_idx, is_mul):
-        return phase1_tables(r_i, w_lsb, b_idx, c_idx, is_mul, k_cur, k)
+    if use_plan:
+
+        def impl(r_i, w_lsb, b_idx, c_idx, is_mul, b_plan):
+            return phase1_tables(
+                r_i, w_lsb, b_idx, c_idx, is_mul, k_cur, k,
+                lane_bits=lane_bits, b_plan=b_plan,
+            )
+
+    else:
+
+        def impl(r_i, w_lsb, b_idx, c_idx, is_mul):
+            return phase1_tables(
+                r_i, w_lsb, b_idx, c_idx, is_mul, k_cur, k,
+                lane_bits=lane_bits,
+            )
 
     return jax.jit(impl)
 
 
 @lru_cache(maxsize=None)
-def _phase2_jit(k: int, field: FieldConfig):
-    """(u [k], w_lsb [2^k], eq_r, b_idx, c_idx, is_mul) ->
+def _phase2_jit(
+    k: int, field: FieldConfig, lane_bits: int = 8, use_plan: bool = False
+):
+    """(u [k], w_lsb [2^k], eq_r, b_idx, c_idx, is_mul[, c_plan]) ->
     (b1_lsb, b2_lsb, w_u [1])."""
 
-    def impl(u, w_lsb, eq_r, b_idx, c_idx, is_mul):
-        return phase2_tables(u, w_lsb, eq_r, b_idx, c_idx, is_mul, k)
+    if use_plan:
+
+        def impl(u, w_lsb, eq_r, b_idx, c_idx, is_mul, c_plan):
+            return phase2_tables(
+                u, w_lsb, eq_r, b_idx, c_idx, is_mul, k,
+                lane_bits=lane_bits, c_plan=c_plan,
+            )
+
+    else:
+
+        def impl(u, w_lsb, eq_r, b_idx, c_idx, is_mul):
+            return phase2_tables(
+                u, w_lsb, eq_r, b_idx, c_idx, is_mul, k,
+                lane_bits=lane_bits,
+            )
 
     return jax.jit(impl)
 

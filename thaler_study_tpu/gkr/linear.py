@@ -95,10 +95,24 @@ class LibraW:
         self.device_tables = device_tables
 
         if device_tables:
-            from .device_tables import _phase1_jit, lsb_to_msb
+            from .device_tables import (
+                _phase1_jit,
+                lsb_to_msb,
+                wiring_lane_bits,
+                wiring_plan_or_none,
+            )
 
             import jax.numpy as jnp
 
+            self._lane_bits = wiring_lane_bits(b_idx, c_idx)
+            self._b_plan = self._c_plan = None
+            if get_config().gkr_gather_plan:
+                b_plan = wiring_plan_or_none(b_idx, 1 << k)
+                c_plan = wiring_plan_or_none(c_idx, 1 << k)
+                if b_plan is not None:
+                    self._b_plan = jnp.asarray(b_plan)
+                if c_plan is not None:
+                    self._c_plan = jnp.asarray(c_plan)
             if isinstance(w_next, FArray):
                 w_lsb = w_next
             else:
@@ -109,13 +123,18 @@ class LibraW:
             r_arr = FArray.from_ints(
                 np.array([f.v for f in r_i], dtype=object), field
             )
-            a1_lsb, a2_lsb, eq_r_dev = _phase1_jit(k_cur, k, field)(
+            p1_args = (
                 r_arr,
                 w_lsb,
                 jnp.asarray(b_idx),
                 jnp.asarray(c_idx),
                 jnp.asarray(is_mul),
-            )
+            ) + (() if self._b_plan is None else (self._b_plan,))
+            a1_lsb, a2_lsb, eq_r_dev = _phase1_jit(
+                k_cur, k, field,
+                lane_bits=self._lane_bits,
+                use_plan=self._b_plan is not None,
+            )(*p1_args)
             self._eq_r_dev = eq_r_dev
             tables = (
                 lsb_to_msb(w_lsb, k),
@@ -178,14 +197,19 @@ class LibraW:
             u_arr = FArray.from_ints(
                 np.array([f.v for f in self.u], dtype=object), self.field
             )
-            b1_lsb, b2_lsb, w_u_arr = _phase2_jit(k, self.field)(
+            p2_args = (
                 u_arr,
                 self._w_lsb,
                 self._eq_r_dev,
                 jnp.asarray(b_idx),
                 jnp.asarray(c_idx),
                 jnp.asarray(is_mul),
-            )
+            ) + (() if self._c_plan is None else (self._c_plan,))
+            b1_lsb, b2_lsb, w_u_arr = _phase2_jit(
+                k, self.field,
+                lane_bits=self._lane_bits,
+                use_plan=self._c_plan is not None,
+            )(*p2_args)
             tables = (
                 lsb_to_msb(b1_lsb, k),
                 lsb_to_msb(b2_lsb, k),

@@ -40,6 +40,10 @@ class FrameworkConfig:
     # GKR bookkeeping (LibraW phase tables + circuit forward pass) on device
     # (gkr/device_tables.py) instead of the host C++ runtime
     gkr_device_tables: bool = True
+    # phase-table builds as dense gathers over a host-precomputed plan
+    # instead of segment_sum scatters (gkr/device_tables.gather_plan);
+    # automatic fallback to scatter above MAX_PLAN_FANIN either way
+    gkr_gather_plan: bool = True
     # PCS Merkle build: batched device SHA-256 (ops/merkle_kernel.py) above
     # this leaf count; below it (or when 0 disables it) per-node hashlib
     merkle_device_min_leaves: int = 64
@@ -63,6 +67,8 @@ class FrameworkConfig:
             kw["use_pallas"] = os.environ["THALER_PALLAS"] == "1"
         if os.environ.get("THALER_GKR_DEVICE"):
             kw["gkr_device_tables"] = os.environ["THALER_GKR_DEVICE"] == "1"
+        if os.environ.get("THALER_GKR_PLAN"):
+            kw["gkr_gather_plan"] = os.environ["THALER_GKR_PLAN"] == "1"
         if os.environ.get("THALER_MERKLE_DEVICE_MIN"):
             kw["merkle_device_min_leaves"] = int(
                 os.environ["THALER_MERKLE_DEVICE_MIN"]
