@@ -200,3 +200,94 @@ def test_batched_fused_transcripts_byte_identical(rng):
             SumcheckInteractiveProver(Prover(ProductPoly(spec, instances[b]))),
             field,
         ).to_bytes()
+
+
+def test_fused_triangle_transcript(rng):
+    """Multi-block specs run the fused whole-proof path too: the triangle
+    IP's 3-block spec proves in one dispatch, byte-identical to host."""
+    from thaler_study_tpu.ops.fs_kernel import supports_fused_fs
+    from thaler_study_tpu.protocols import TriangleG
+
+    field = GOLDILOCKS
+    k = 2
+    size = 1 << k
+    # dense-ish random adjacency so zero coefficients stay unlikely
+    matrix = [rng.randrange(2) for _ in range(size * size)]
+    for i in range(size):
+        matrix[i * size + i] = 0
+    g = TriangleG.new_adj_matrix(2 * k, matrix, field)
+    assert supports_fused_fs(g.spec, field, b"")
+    host = generate_transcript(
+        SumcheckInteractiveProver(
+            Prover(TriangleG.new_adj_matrix(2 * k, matrix, field))
+        ),
+        field,
+    )
+    fused = generate_transcript_device(g, field)
+    assert [m.hex() for m in fused.g] == [m.hex() for m in host.g]
+
+
+def test_fused_multiblock_mixed_degree(rng):
+    """A 2-block spec whose round degree differs between blocks (deg 2 over
+    block 0, deg 1 over block 1) serializes per-round-degree messages,
+    byte-identical to the host loop."""
+    field = GOLDILOCKS
+    n0, n1 = 2, 3
+    spec = PolySpec(
+        block_sizes=(n0, n1),
+        table_blocks=((0,), (0, 1)),
+        terms=((0, 1),),
+    )
+    tables = tuple(
+        FArray.from_ints(
+            np.array([rng.randrange(1, field.p) for _ in range(1 << nv)], dtype=object),
+            field,
+        )
+        for nv in (n0, n0 + n1)
+    )
+    host = generate_transcript(
+        SumcheckInteractiveProver(Prover(ProductPoly(spec, tables))), field
+    )
+    fused = generate_transcript_device(ProductPoly(spec, tables), field)
+    assert fused.to_bytes() == host.to_bytes()
+
+
+def test_batched_per_instance_fallback(rng):
+    """A zero coefficient in ONE instance re-proves only that instance on
+    the host loop; the rest of the batch keeps the fused device result."""
+    from thaler_study_tpu.ops.fs_kernel import fs_prove_device_batch
+    from thaler_study_tpu.protocols import (
+        BatchedProductPoly,
+        generate_transcripts_batch,
+    )
+
+    field = GOLDILOCKS
+    n, k = 3, 2
+    spec = PolySpec(
+        block_sizes=(n,),
+        table_blocks=tuple((0,) for _ in range(k)),
+        terms=(tuple(range(k)),),
+    )
+    instances = [
+        [
+            FArray.from_ints(
+                np.array([rng.randrange(1, field.p) for _ in range(1 << n)], dtype=object),
+                field,
+            )
+            for _ in range(k)
+        ]
+        for _ in range(3)
+    ]
+    # instance 1: an all-zeros factor forces zero coefficients
+    instances[1][0] = FArray.from_ints(np.zeros(1 << n, dtype=object), field)
+    batched = BatchedProductPoly.stack(instances)
+    out = fs_prove_device_batch(spec, batched.tables)
+    assert out is not None and out[1] is None
+    assert out[0] is not None and out[2] is not None
+    ts = generate_transcripts_batch(BatchedProductPoly.stack(instances), field)
+    for b in range(3):
+        host = generate_transcript(
+            SumcheckInteractiveProver(Prover(ProductPoly(spec, instances[b]))),
+            field,
+        )
+        assert ts[b].to_bytes() == host.to_bytes(), f"instance {b}"

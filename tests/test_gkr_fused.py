@@ -106,6 +106,59 @@ def test_fused_mixed_layer_sizes():
     assert list(t_host.g) == list(t_fused.g)
 
 
+@pytest.mark.parametrize("dcn", [1, 2, 8], ids=["1x8", "2x4", "8x1"])
+def test_fused_sharded_matches_host_transcript(dcn):
+    """The fused prover across a mesh (GSPMD-partitioned layer programs):
+    byte-identical to the host loop and the unsharded fused path on every
+    mesh shape (VERDICT r2 next-round #1, GKR half)."""
+    from thaler_study_tpu.parallel import make_mesh_2d
+
+    rng = random.Random(dcn + 17)
+    circuit = _random_circuit(3, 4, 4, rng)  # 16-gate layers shard over 8
+    inputs = _inputs(1 << 4, GOLDILOCKS, rng)
+    t_host = generate_gkr_transcript(
+        Prover(circuit, inputs, GOLDILOCKS), GOLDILOCKS
+    )
+    mesh = make_mesh_2d(dcn_size=dcn)
+    t_sharded = generate_gkr_transcript_fused(
+        Prover(circuit, inputs, GOLDILOCKS), GOLDILOCKS, mesh=mesh
+    )
+    assert list(t_host.g) == list(t_sharded.g)
+    assert verify_gkr_transcript(
+        t_sharded, Verifier(circuit, GOLDILOCKS), inputs, GOLDILOCKS
+    )
+
+
+def test_fused_sharded_mixed_small_layers():
+    """Layers too small to split (2^k < mesh size) replicate while larger
+    ones shard — one proof can mix placements; transcript unchanged."""
+    from thaler_study_tpu.parallel import make_mesh
+
+    rng = random.Random(29)
+    sizes = [2, 4, 2]  # 4-gate (replicated), 16-gate (sharded), 4-gate
+    layers = []
+    all_sizes = [1 << s for s in sizes] + [8]
+    for li in range(len(sizes)):
+        next_size = all_sizes[li + 1]
+        gates = [
+            Gate(
+                GateType.MUL if rng.random() < 0.5 else GateType.ADD,
+                (rng.randrange(next_size), rng.randrange(next_size)),
+            )
+            for _ in range(all_sizes[li])
+        ]
+        layers.append(CircuitLayer(gates))
+    circuit = Circuit(layers, 8)
+    inputs = _inputs(8, GOLDILOCKS, rng)
+    t_host = generate_gkr_transcript(
+        Prover(circuit, inputs, GOLDILOCKS), GOLDILOCKS
+    )
+    t_sharded = generate_gkr_transcript_fused(
+        Prover(circuit, inputs, GOLDILOCKS), GOLDILOCKS, mesh=make_mesh()
+    )
+    assert list(t_host.g) == list(t_sharded.g)
+
+
 def test_fused_fallback_non_goldilocks():
     """mont32 fields are out of fused scope -> exact host fallback."""
     circuit = circuit_from_book()

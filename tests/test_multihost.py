@@ -111,3 +111,79 @@ def test_triangle_on_2d_mesh(rng):
         SumcheckInteractiveProver(Prover(poly)), field
     )
     assert t_mesh.to_bytes() == t_local.to_bytes()
+
+
+@pytest.mark.parametrize("dcn", [1, 2, 8], ids=["1x8", "2x4", "8x1"])
+def test_fused_sharded_transcript_identical(dcn, rng):
+    """The FUSED whole-proof kernel under mesh sharding: one GSPMD device
+    program across every mesh shape, byte-identical to the host loop and
+    to the unsharded fused kernel (VERDICT r2 next-round #1)."""
+    from thaler_study_tpu.ops.fs_kernel import (
+        fs_prove_device,
+        fs_prove_device_sharded,
+    )
+
+    field = GOLDILOCKS
+    n, k = 6, 2
+    tables = _tables(field, n, k, rng)
+    spec = PolySpec(
+        block_sizes=(n,),
+        table_blocks=tuple((0,) for _ in range(k)),
+        terms=(tuple(range(k)),),
+    )
+    host = generate_transcript(
+        SumcheckInteractiveProver(Prover(ProductPoly(spec, tables))), field
+    )
+    unsharded = fs_prove_device(spec, tables)
+    mesh = make_mesh_2d(dcn_size=dcn)
+    sharded = fs_prove_device_sharded(spec, tables, mesh, n_shard=3)
+    assert sharded is not None and unsharded is not None
+    assert [m.hex() for m in sharded] == [m.hex() for m in host.g]
+    assert sharded == unsharded
+
+
+def test_fused_sharded_triangle_transcript(rng):
+    """Multi-block (triangle) spec through the sharded fused kernel: the
+    trailing Z variables shard over the mesh; transcript byte-identical."""
+    from thaler_study_tpu.ops.fs_kernel import fs_prove_device_sharded
+    from thaler_study_tpu.parallel import make_mesh
+
+    field = GOLDILOCKS
+    k = 3
+    size = 1 << k
+    matrix = [rng.randrange(2) for _ in range(size * size)]
+    for i in range(size):
+        matrix[i * size + i] = 0
+    g = TriangleG.new_adj_matrix(2 * k, matrix, field)
+    host = generate_transcript(
+        SumcheckInteractiveProver(
+            Prover(TriangleG.new_adj_matrix(2 * k, matrix, field))
+        ),
+        field,
+    )
+    mesh = make_mesh()
+    sharded = fs_prove_device_sharded(g.spec, g.tables, mesh, n_shard=3)
+    assert sharded is not None
+    assert [m.hex() for m in sharded] == [m.hex() for m in host.g]
+
+
+def test_fused_sharded_full_shard(rng):
+    """Edge case: EVERY variable of the last block sharded (no local Z
+    columns) still produces the byte-identical transcript."""
+    from thaler_study_tpu.ops.fs_kernel import fs_prove_device_sharded
+    from thaler_study_tpu.parallel import make_mesh
+
+    field = GOLDILOCKS
+    n, k = 3, 2
+    tables = _tables(field, n, k, rng)
+    spec = PolySpec(
+        block_sizes=(n,),
+        table_blocks=tuple((0,) for _ in range(k)),
+        terms=(tuple(range(k)),),
+    )
+    host = generate_transcript(
+        SumcheckInteractiveProver(Prover(ProductPoly(spec, tables))), field
+    )
+    sharded = fs_prove_device_sharded(spec, tables, make_mesh(), n_shard=3)
+    assert sharded is not None
+    assert [m.hex() for m in sharded] == [m.hex() for m in host.g]

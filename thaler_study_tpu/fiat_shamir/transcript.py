@@ -27,7 +27,7 @@ from ..sumcheck import (
     RandNums,
     Verifier,
 )
-from .hash_to_field import DefaultFieldHasher
+from .hash_to_field import XmdChain
 from .serialize import (
     deserialize_c1_and_poly,
     deserialize_unipoly,
@@ -134,20 +134,24 @@ def generate_transcript(
     Challenge r_j = H(g_1 || ... || g_j) over the *running concatenation* of
     serialized messages, with H = DefaultFieldHasher<Sha256>.
     """
-    hasher = DefaultFieldHasher(field, dst)
+    chain = XmdChain(field, dst)
     g_1 = prover.g_1()
-    hash_input = bytearray(g_1)
+    chain.absorb(g_1)
     g = [g_1]
     for j in range(1, prover.num_rounds()):
-        r_j = hasher.hash_to_field(bytes(hash_input), 1)[0]
+        r_j = chain.draw(1)[0]
         g_j = prover.round(j, r_j)
-        hash_input.extend(g_j)
+        chain.absorb(g_j)
         g.append(g_j)
     return FiatShamirTranscript(g)
 
 
 def generate_transcript_device(
-    poly, field: FieldConfig, dst: bytes = b""
+    poly,
+    field: FieldConfig,
+    dst: bytes = b"",
+    mesh=None,
+    n_shard=None,
 ) -> FiatShamirTranscript:
     """Non-interactive prover run with the whole proof fused into ONE device
     dispatch (ops/fs_kernel.py): fold + round sums + serialization + SHA-256
@@ -155,20 +159,40 @@ def generate_transcript_device(
     :func:`generate_transcript`.
 
     ``poly`` is the SumCheckPolynomial (device-backed ProductPoly for the
-    fused path). Falls back to the per-round host loop whenever the fused
-    kernel does not support the (spec, field, dst) combination or a zero
-    round-polynomial coefficient makes message lengths value-dependent
+    fused path). With ``mesh`` (a jax.sharding.Mesh) the SAME fused program
+    runs sharded across the mesh under GSPMD (trailing variables of the
+    last block split over the devices; per-round communication is one psum
+    of the round sums — ops/fs_kernel.fs_prove_device_sharded). Falls back
+    to the per-round loop — sharded when a mesh is given — whenever the
+    fused kernel does not support the (spec, field, dst) combination or a
+    zero round-polynomial coefficient makes message lengths value-dependent
     (see ops/fs_kernel.py docstring).
     """
-    from ..ops.fs_kernel import fs_prove_device
+    from ..ops.fs_kernel import fs_prove_device, fs_prove_device_sharded
     from ..sumcheck import Prover
 
     spec = getattr(poly, "spec", None)
     tables = getattr(poly, "tables", None)
     if spec is not None and tables is not None:
-        msgs = fs_prove_device(spec, tables, dst)
+        if mesh is not None:
+            msgs = fs_prove_device_sharded(
+                spec, tables, mesh, n_shard=n_shard, dst=dst
+            )
+        else:
+            msgs = fs_prove_device(spec, tables, dst)
         if msgs is not None:
             return FiatShamirTranscript(msgs)
+        if mesh is not None:
+            # exact fallback keeps the distributed layout: per-round host
+            # loop over the sharded polynomial (byte-identical)
+            from ..parallel import ShardedBlockPoly
+
+            sharded = ShardedBlockPoly.from_internal_tables(
+                spec, tables, mesh, n_shard=n_shard
+            )
+            return generate_transcript(
+                SumcheckInteractiveProver(Prover(sharded)), field, dst
+            )
     return generate_transcript(
         SumcheckInteractiveProver(Prover(poly)), field, dst
     )
@@ -194,7 +218,7 @@ def resume_transcript(
     that does not belong to this prover's inputs; costs the same as
     re-proving the prefix).
     """
-    hasher = DefaultFieldHasher(field, dst)
+    chain = XmdChain(field, dst)
     t = len(partial.g)
     if t == 0:
         return generate_transcript(prover, field, dst)
@@ -203,10 +227,9 @@ def resume_transcript(
         if g_1 != partial.g[0]:
             raise SerializationError("checkpoint prefix mismatch at round 0")
     g = list(partial.g)
-    hash_input = bytearray()
     for j in range(t):
         if j >= 1:
-            r_j = hasher.hash_to_field(bytes(hash_input), 1)[0]
+            r_j = chain.draw(1)[0]
             if verify_prefix:
                 g_j = prover.round(j, r_j)
                 if g_j != partial.g[j]:
@@ -216,11 +239,11 @@ def resume_transcript(
             else:
                 prover.advance(r_j)
         # round 0 needs no state replay: emitting g_1 does not fold
-        hash_input.extend(partial.g[j])
+        chain.absorb(partial.g[j])
     for j in range(t, prover.num_rounds()):
-        r_j = hasher.hash_to_field(bytes(hash_input), 1)[0]
+        r_j = chain.draw(1)[0]
         g_j = prover.round(j, r_j)
-        hash_input.extend(g_j)
+        chain.absorb(g_j)
         g.append(g_j)
     return FiatShamirTranscript(g)
 
@@ -231,12 +254,15 @@ def verify_transcript(
     field: FieldConfig,
     dst: bytes = b"",
 ) -> bool:
-    """Non-interactive verification (ref verify_transcript :123-143)."""
-    hasher = DefaultFieldHasher(field, dst)
-    hash_input = bytearray()
+    """Non-interactive verification (ref verify_transcript :123-143).
+
+    Challenge derivation carries a SHA-256 midstate over the absorbed
+    prefix (XmdChain) — O(T) total hashing, byte-identical to the
+    reference's full re-hash per round."""
+    chain = XmdChain(field, dst)
     for j in range(len(transcript.g)):
-        hash_input.extend(transcript.g[j])
-        r_j = hasher.hash_to_field(bytes(hash_input), 1)[0]
+        chain.absorb(transcript.g[j])
+        r_j = chain.draw(1)[0]
         if not verifier.round(j, transcript.g[j], RandNums([r_j])):
             return False
     return True

@@ -117,13 +117,24 @@ def _phase2_spec(k: int) -> PolySpec:
 
 
 @lru_cache(maxsize=None)
-def _layer_phase1_jit(k_cur: int, k: int, g: int, field: FieldConfig):
+def _layer_phase1_jit(
+    k_cur: int,
+    k: int,
+    g: int,
+    field: FieldConfig,
+    lane_bits: int = 8,
+    use_plan: bool = False,
+):
     unroll = default_unroll()
 
-    def impl(state, buf, nbytes, layer_idx, r_i, w_lsb, b_idx, c_idx, is_mul):
+    def impl(
+        state, buf, nbytes, layer_idx, r_i, w_lsb, b_idx, c_idx, is_mul,
+        b_plan=None,
+    ):
         chain = DevChain(state, buf, nbytes, unroll)
         a1_lsb, a2_lsb, eq_r = phase1_tables(
-            r_i, w_lsb, b_idx, c_idx, is_mul, k_cur, k
+            r_i, w_lsb, b_idx, c_idx, is_mul, k_cur, k,
+            lane_bits=lane_bits, b_plan=b_plan if use_plan else None,
         )
         tables = (lsb_to_msb(w_lsb, k), lsb_to_msb(a1_lsb, k), lsb_to_msb(a2_lsb, k))
         spec = _phase1_spec(k)
@@ -199,12 +210,18 @@ def _layer_phase1_jit(k_cur: int, k: int, g: int, field: FieldConfig):
 
 
 @lru_cache(maxsize=None)
-def _layer_phase2_jit(k: int, g: int, field: FieldConfig):
+def _layer_phase2_jit(
+    k: int,
+    g: int,
+    field: FieldConfig,
+    lane_bits: int = 8,
+    use_plan: bool = False,
+):
     unroll = default_unroll()
 
     def impl(
         state, buf, nbytes, u, a_lo, a_hi, w_lsb, eq_r, b_idx, c_idx,
-        is_mul,
+        is_mul, c_plan=None,
     ):
         # phase 1's full coefficient rows come in; the claim seed needs only
         # the last row — slice INSIDE the jit (an eager host-side slice
@@ -212,7 +229,8 @@ def _layer_phase2_jit(k: int, g: int, field: FieldConfig):
         last_lo, last_hi = a_lo[-1], a_hi[-1]
         chain = DevChain(state, buf, nbytes, unroll)
         b1_lsb, b2_lsb, w_u = phase2_tables(
-            u, w_lsb, eq_r, b_idx, c_idx, is_mul, k
+            u, w_lsb, eq_r, b_idx, c_idx, is_mul, k,
+            lane_bits=lane_bits, c_plan=c_plan if use_plan else None,
         )
         tables = (
             lsb_to_msb(b1_lsb, k),
@@ -348,27 +366,67 @@ def supports_fused_gkr(circuit, field: FieldConfig, dst: bytes) -> bool:
 
 
 def generate_gkr_transcript_fused(
-    prover, field: FieldConfig, dst: bytes = b"", timings: Optional[list] = None
+    prover,
+    field: FieldConfig,
+    dst: bytes = b"",
+    timings: Optional[list] = None,
+    mesh=None,
 ):
     """Drop-in for generate_gkr_transcript: fused device proving with exact
     host fallback (unsupported configs, or a zero serialized coefficient).
 
     ``prover`` is a fresh gkr.Prover. The fused path only uses its circuit
     and forward-pass values; on fallback the prover runs the host protocol.
+
+    With ``mesh`` (a jax.sharding.Mesh) the SAME two layer programs run
+    sharded across the mesh under GSPMD: layer values and gate wiring enter
+    with the mesh axes over their leading dimension and XLA partitions the
+    phase-table scatters, folds, and round sums, inserting the collectives
+    (the scalar SHA-256 challenge chain replicates, so every shard derives
+    identical challenges with no broadcast). Transcripts are byte-identical
+    across mesh shapes and to the unsharded path — modular arithmetic is
+    exact, so partitioning cannot change any value. This composes the
+    fastest path with the distributed path the way the reference's single
+    prover serves every config (fiat-shamir/src/lib.rs:75-98).
     """
     from .transcript import GKRTranscript, generate_gkr_transcript
 
     circuit = prover.circuit
     if not supports_fused_gkr(circuit, field, dst):
         return generate_gkr_transcript(prover, field, dst)
-    msgs = _prove_fused(prover, field, timings=timings)
+    msgs = _prove_fused(prover, field, timings=timings, mesh=mesh)
     if msgs is None:  # zero-coefficient fallback (probability ~ rounds/p)
         return generate_gkr_transcript(prover, field, dst)
     return GKRTranscript(msgs)
 
 
+def _mesh_put(mesh):
+    """A placer: shard a leading dimension over ALL mesh axes when it
+    divides evenly (gate lists, layer tables), replicate otherwise
+    (challenges, chain state, tiny layers)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    axes = tuple(mesh.axis_names)
+    ndev = mesh.devices.size
+    row = NamedSharding(mesh, PartitionSpec(axes))
+    repl = NamedSharding(mesh, PartitionSpec())
+
+    def put(x):
+        shape = getattr(x, "shape", ())
+        ok = len(shape) >= 1 and shape[0] % ndev == 0 and shape[0] >= ndev
+        return jax.device_put(x, row if ok else repl)
+
+    def put_f(fa: FArray) -> FArray:
+        return FArray(tuple(put(l) for l in fa.limbs), fa.field)
+
+    return put, put_f
+
+
 def _prove_fused(
-    prover, field: FieldConfig, timings: Optional[list] = None
+    prover,
+    field: FieldConfig,
+    timings: Optional[list] = None,
+    mesh=None,
 ) -> Optional[List[bytes]]:
     """``timings``, when given, receives ("phase1"|"phase2"|"pull", layer,
     seconds) tuples with a device sync after every dispatch — the fused-path
@@ -407,14 +465,50 @@ def _prove_fused(
 
     # wiring tables live on device once per prover, not once per proof
     # (re-sending 3 x width indices per layer per run dominates warm-run
-    # enqueue time through a remote tunnel)
-    wiring_dev = getattr(prover, "_wiring_dev", None)
-    if wiring_dev is None:
-        wiring_dev = [
-            tuple(jnp.asarray(w) for w in circuit._wiring[i])
+    # enqueue time through a remote tunnel); one cached copy per placement
+    # (unsharded, or per mesh)
+    caches = getattr(prover, "_fused_dev_cache", None)
+    if caches is None:
+        caches = prover._fused_dev_cache = {}
+    key = mesh  # None for the single-device path; Mesh is hashable
+    lane_bits = getattr(prover, "_fused_lane_bits", None)
+    if lane_bits is None:
+        from .device_tables import wiring_lane_bits
+
+        lane_bits = prover._fused_lane_bits = [
+            wiring_lane_bits(circuit._wiring[i][0], circuit._wiring[i][1])
             for i in range(num_layers)
         ]
-        prover._wiring_dev = wiring_dev
+    if key not in caches:
+        from ..utils.config import get_config
+        from .device_tables import wiring_plan_or_none
+
+        use_plans = get_config().gkr_gather_plan
+        wiring_dev = []
+        for i in range(num_layers):
+            b_idx, c_idx, is_mul = circuit._wiring[i]
+            size = 1 << circuit.num_vars_at(i + 1)
+            b_plan = wiring_plan_or_none(b_idx, size) if use_plans else None
+            c_plan = wiring_plan_or_none(c_idx, size) if use_plans else None
+            wiring_dev.append(
+                (
+                    jnp.asarray(b_idx),
+                    jnp.asarray(c_idx),
+                    jnp.asarray(is_mul),
+                    None if b_plan is None else jnp.asarray(b_plan),
+                    None if c_plan is None else jnp.asarray(c_plan),
+                )
+            )
+        layers_put = layers_dev
+        if mesh is not None:
+            put, put_f = _mesh_put(mesh)
+            wiring_dev = [
+                tuple(None if w is None else put(w) for w in row)
+                for row in wiring_dev
+            ]
+            layers_put = [put_f(t) for t in layers_dev]
+        caches[key] = (wiring_dev, layers_put)
+    wiring_dev, layers_dev = caches[key]
 
     r_i = FArray.from_ints(np.array([f.v for f in r0], dtype=object), field)
     outs = []
@@ -422,22 +516,31 @@ def _prove_fused(
     for i in range(num_layers):
         k_cur = circuit.num_vars_at(i)
         k = circuit.num_vars_at(i + 1)
-        b_idx, c_idx, is_mul = wiring_dev[i]
+        b_idx, c_idx, is_mul, b_plan, c_plan = wiring_dev[i]
         g = len(b_idx)
         w_lsb = layers_dev[i + 1]
-        a = _layer_phase1_jit(k_cur, k, g, field)(
-            state, buf, nbytes, jnp.uint32(i), r_i, w_lsb, b_idx, c_idx, is_mul
-        )
+        p1_args = (
+            state, buf, nbytes, jnp.uint32(i), r_i, w_lsb, b_idx, c_idx,
+            is_mul,
+        ) + ((b_plan,) if b_plan is not None else ())
+        a = _layer_phase1_jit(
+            k_cur, k, g, field,
+            lane_bits=lane_bits[i], use_plan=b_plan is not None,
+        )(*p1_args)
         state, buf, nbytes, c1, a_lo, a_hi, u, eq_r, az_a = a
         if timings is not None:
             jax.block_until_ready(state)
             now = time.perf_counter()
             timings.append(("phase1", i, now - timings_t0[0]))
             timings_t0[0] = now
-        b = _layer_phase2_jit(k, g, field)(
+        p2_args = (
             state, buf, nbytes, u, a_lo, a_hi, w_lsb, eq_r, b_idx,
             c_idx, is_mul,
-        )
+        ) + ((c_plan,) if c_plan is not None else ())
+        b = _layer_phase2_jit(
+            k, g, field,
+            lane_bits=lane_bits[i], use_plan=c_plan is not None,
+        )(*p2_args)
         state, buf, nbytes = b[0], b[1], b[2]
         r_i = b[9]
         if timings is not None:

@@ -21,9 +21,11 @@ kernel therefore assumes every coefficient is nonzero (probability
 and the host wrapper falls back to the exact host loop when the flag fires.
 Transcripts are bit-exact in both cases.
 
-Scope: single-block product polynomials over Goldilocks (2x uint32
-canonical) or any mont32 field (the reference's F5/F389/F1572869 plus
-BabyBear). Unsupported specs fall back to the host loop.
+Scope: any PolySpec product polynomial (single- or multi-block — matmul,
+triangle, dense GKR W) over Goldilocks (2x uint32 canonical) or any mont32
+field (the reference's F5/F389/F1572869 plus BabyBear). Round degrees may
+vary across blocks; they are static per round, so message byte layouts
+stay shape-static. Unsupported combos fall back to the host loop.
 """
 
 from __future__ import annotations
@@ -166,19 +168,67 @@ def _claim_at(field: FieldConfig, dom_coeffs, r: FArray) -> FArray:
     return FArray((acc,), field)
 
 
-def _fs_prove_impl(spec: PolySpec, n: int, degree: int):
+def _round_degrees(spec: PolySpec) -> Tuple[int, ...]:
+    """The (static) univariate degree of every round, simulating the spec
+    advance: round 0 runs on ``spec``; each later round folds first."""
+    out = [spec.degree()]
+    cur = spec
+    for _ in range(1, spec.num_vars()):
+        cur = cur.after_fold()
+        out.append(cur.degree())
+    return tuple(out)
+
+
+def _any_zero_coeffs(any_zero, coeffs):
+    for lo, hi in coeffs:
+        any_zero = any_zero | ((lo == U32(0)) & (hi == U32(0)))
+    return any_zero
+
+
+def _absorb_round_msg(chain: DevChain, j: int, sums: FArray, coeffs, field):
+    """Serialize round j's message (ark layout, all coeffs nonzero) into the
+    chain. Round 0 prepends c_1 = s(0) + s(1); returns (chain, c1_scalars)
+    with c1_scalars = None for j > 0."""
+    is_gl = field.backend == "goldilocks"
+    byte_size = field.byte_size
+    c1 = None
+    parts = []
+    if j == 0:
+        if is_gl:
+            c1 = gl.add(
+                sums.limbs[0][0],
+                sums.limbs[1][0],
+                sums.limbs[0][1],
+                sums.limbs[1][1],
+            )
+            parts.append(_felt_bytes_le(*c1))
+        else:
+            c1_mont = b32.add(field.p, sums.limbs[0][0], sums.limbs[0][1])
+            c1_canon = b32.from_mont(field.p, field.mont_pinv_neg, c1_mont)
+            c1 = (c1_canon, jnp.zeros_like(c1_canon))
+            parts.append(_felt_bytes_le_m32(c1_canon, byte_size))
+    parts.append(jnp.asarray(_le_bytes_u64_const(len(coeffs))))
+    for t, (lo, hi) in enumerate(coeffs):
+        parts.append(jnp.asarray(_le_bytes_u64_const(t)))
+        if is_gl:
+            parts.append(_felt_bytes_le(lo, hi))
+        else:
+            parts.append(_felt_bytes_le_m32(lo, byte_size))
+    return chain.absorb(jnp.concatenate(parts)), c1
+
+
+def _fs_prove_impl(spec: PolySpec, n: int):
     """Build the unrolled whole-proof program (trace-time loop over rounds)."""
 
     def impl(tables: Tuple[FArray, ...]):
         chain = DevChain.fresh(unroll=default_unroll())
         cur_spec = spec
-        coeff_rows = []  # [n][degree+1] of (lo, hi) scalars
+        coeff_rows = []  # [n] rows of (degree_j + 1) (lo, hi) scalars
         c1 = None
         any_zero = jnp.asarray(False)
         r: Optional[FArray] = None
         field = tables[0].field
         is_gl = field.backend == "goldilocks"
-        byte_size = field.byte_size
         dom_coeffs = None
         for j in range(n):
             claim = None
@@ -189,54 +239,24 @@ def _fs_prove_impl(spec: PolySpec, n: int, degree: int):
                 # c = g_prev(r_prev): s(1) comes from c - s(0), skipping
                 # one of the degree+1 hypercube product passes
                 claim = _claim_at(field, dom_coeffs, r)
+            degree = cur_spec.degree()
             sums = _round_sums(cur_spec, tables, degree, claim=claim)
             coeffs, dom_coeffs = _interp_coeffs(sums, degree)
             coeff_rows.append(coeffs)
-            for lo, hi in coeffs:
-                any_zero = any_zero | ((lo == U32(0)) & (hi == U32(0)))
-            # serialize the round message (ark layout, all coeffs nonzero)
-            parts = []
-            if j == 0:
-                if is_gl:
-                    c1 = gl.add(
-                        sums.limbs[0][0],
-                        sums.limbs[1][0],
-                        sums.limbs[0][1],
-                        sums.limbs[1][1],
-                    )
-                    parts.append(_felt_bytes_le(*c1))
-                else:
-                    c1_mont = b32.add(
-                        field.p, sums.limbs[0][0], sums.limbs[0][1]
-                    )
-                    c1_canon = b32.from_mont(
-                        field.p, field.mont_pinv_neg, c1_mont
-                    )
-                    c1 = (c1_canon, jnp.zeros_like(c1_canon))
-                    parts.append(_felt_bytes_le_m32(c1_canon, byte_size))
-            parts.append(jnp.asarray(_le_bytes_u64_const(degree + 1)))
-            for t, (lo, hi) in enumerate(coeffs):
-                parts.append(jnp.asarray(_le_bytes_u64_const(t)))
-                if is_gl:
-                    parts.append(_felt_bytes_le(lo, hi))
-                else:
-                    parts.append(_felt_bytes_le_m32(lo, byte_size))
-            chain = chain.absorb(jnp.concatenate(parts))
+            any_zero = _any_zero_coeffs(any_zero, coeffs)
+            chain, c1_j = _absorb_round_msg(chain, j, sums, coeffs, field)
+            c1 = c1_j if j == 0 else c1
             if j < n - 1:
                 ((rlo, rhi),) = hash_to_field_chain(chain, field, 1)
                 if is_gl:
                     r = FArray((rlo, rhi), field)
                 else:
                     r = FArray((rlo,), field)
-        coeff_lo = jnp.stack(
-            [jnp.stack([c[0] for c in row]) for row in coeff_rows]
-        )
-        coeff_hi = jnp.stack(
-            [jnp.stack([c[1] for c in row]) for row in coeff_rows]
-        )
+        coeff_lo = jnp.stack([c[0] for row in coeff_rows for c in row])
+        coeff_hi = jnp.stack([c[1] for row in coeff_rows for c in row])
         return (
             jnp.stack(c1),  # [2] uint32 (lo, hi)
-            coeff_lo,  # [n, degree+1]
+            coeff_lo,  # [sum_j (degree_j + 1)] flat, round-major
             coeff_hi,
             any_zero,
         )
@@ -245,43 +265,45 @@ def _fs_prove_impl(spec: PolySpec, n: int, degree: int):
 
 
 @lru_cache(maxsize=None)
-def _fs_prove_jit(spec: PolySpec, degree: int, field: FieldConfig):
-    return jax.jit(_fs_prove_impl(spec, spec.num_vars(), degree))
+def _fs_prove_jit(spec: PolySpec, field: FieldConfig):
+    return jax.jit(_fs_prove_impl(spec, spec.num_vars()))
 
 
 def supports_fused_fs(spec: PolySpec, field: FieldConfig, dst: bytes) -> bool:
     """The fused path covers: empty DST (the reference's test config), any
-    supported backend (goldilocks or mont32), one variable block, every
-    table over that block (degree = #tables per term is then constant
-    across rounds)."""
+    supported backend (goldilocks or mont32), and any PolySpec whose round
+    degrees are all >= 1 (a degree-0 round would serialize a constant
+    polynomial whose single coefficient is routinely zero — arkworks drops
+    zero terms, so its byte length would be value-dependent)."""
     if dst != b"":
         return False
     if field.backend not in ("goldilocks", "mont32"):
         return False
-    if len(spec.block_sizes) != 1:
+    if spec.num_vars() < 1:
         return False
-    if any(tb != (0,) for tb in spec.table_blocks):
-        return False
-    return spec.num_vars() >= 1
+    return all(d >= 1 for d in _round_degrees(spec))
 
 
 def _assemble_msgs(
-    c1_arr, coeff_lo, coeff_hi, n: int, degree: int, byte_size: int
+    c1_arr, coeff_lo, coeff_hi, degrees: Sequence[int], byte_size: int
 ) -> list:
     """Host re-assembly of the byte messages from device coefficient ints —
-    the exact layout the device hashed (see _fs_prove_impl serialization)."""
+    the exact layout the device hashed (see _fs_prove_impl serialization).
+    ``coeff_lo``/``coeff_hi`` are flat round-major, (degrees[j] + 1)
+    coefficients per round."""
     c1_v = int(c1_arr[0]) | (int(c1_arr[1]) << 32)
     msgs = []
-    len_prefix = (degree + 1).to_bytes(8, "little")
-    for j in range(n):
+    off = 0
+    for j, degree in enumerate(degrees):
         out = []
         if j == 0:
             out.append(c1_v.to_bytes(byte_size, "little"))
-        out.append(len_prefix)
+        out.append((degree + 1).to_bytes(8, "little"))
         for t in range(degree + 1):
-            v = int(coeff_lo[j][t]) | (int(coeff_hi[j][t]) << 32)
+            v = int(coeff_lo[off]) | (int(coeff_hi[off]) << 32)
             out.append(t.to_bytes(8, "little"))
             out.append(v.to_bytes(byte_size, "little"))
+            off += 1
         msgs.append(b"".join(out))
     return msgs
 
@@ -298,8 +320,7 @@ def fs_prove_device(
     field = tables[0].field
     if not supports_fused_fs(spec, field, dst):
         return None
-    degree = spec.degree()
-    fn = _fs_prove_jit(spec, degree, field)
+    fn = _fs_prove_jit(spec, field)
     c1_arr, coeff_lo, coeff_hi, any_zero = fn(tuple(tables))
     if bool(any_zero):
         return None
@@ -307,15 +328,14 @@ def fs_prove_device(
         np.asarray(c1_arr),
         np.asarray(coeff_lo),
         np.asarray(coeff_hi),
-        spec.num_vars(),
-        degree,
+        _round_degrees(spec),
         field.byte_size,
     )
 
 
 @lru_cache(maxsize=None)
-def _fs_prove_batch_jit(spec: PolySpec, degree: int, field: FieldConfig):
-    impl = _fs_prove_impl(spec, spec.num_vars(), degree)
+def _fs_prove_batch_jit(spec: PolySpec, field: FieldConfig):
+    impl = _fs_prove_impl(spec, spec.num_vars())
     return jax.jit(jax.vmap(impl))
 
 
@@ -325,25 +345,200 @@ def fs_prove_device_batch(
     """B independent whole proofs in ONE device dispatch (vmapped kernel).
 
     ``tables``: per-factor FArrays of shape [B, 2^n]. Returns a list of B
-    message lists, or ``None`` for the host fallback (unsupported combo, or
-    any instance hit a zero coefficient — rare; the caller re-proves the
-    batch exactly).
+    entries — each a message list, or ``None`` for that one instance when
+    a zero serialized coefficient makes its message lengths value-dependent
+    (the caller re-proves ONLY that instance on the exact host loop).
+    Returns ``None`` outright when the (spec, field, dst) combo is
+    unsupported.
     """
     field = tables[0].field
     if not supports_fused_fs(spec, field, dst):
         return None
-    degree = spec.degree()
-    fn = _fs_prove_batch_jit(spec, degree, field)
+    fn = _fs_prove_batch_jit(spec, field)
     c1_arr, coeff_lo, coeff_hi, any_zero = fn(tuple(tables))
-    if bool(np.asarray(any_zero).any()):
-        return None
     c1_arr = np.asarray(c1_arr)
     coeff_lo = np.asarray(coeff_lo)
     coeff_hi = np.asarray(coeff_hi)
-    n = spec.num_vars()
+    any_zero = np.asarray(any_zero)
+    degrees = _round_degrees(spec)
     return [
-        _assemble_msgs(
-            c1_arr[b], coeff_lo[b], coeff_hi[b], n, degree, field.byte_size
+        None
+        if bool(any_zero[b])
+        else _assemble_msgs(
+            c1_arr[b], coeff_lo[b], coeff_hi[b], degrees, field.byte_size
         )
         for b in range(c1_arr.shape[0])
     ]
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded whole-proof kernel (fused x distributed composition)
+# ---------------------------------------------------------------------------
+#
+# The reference has ONE prover that is both its only and its fastest path
+# (fiat-shamir/src/lib.rs:75-98 drives every config). Here the fused
+# whole-proof program composes with mesh sharding: factor tables enter in
+# the ShardedBlockPoly layout — [2^n_shard, 2^local] with axis 0 (the
+# TRAILING variables of the LAST block) sharded over the mesh — and GSPMD
+# partitions the ONE unrolled program. Every local-variable fold is
+# communication-free; each round's only collective is the psum of the
+# (degree+1) round sums; the SHA-256 challenge chain is scalar work XLA
+# replicates on every device (so every shard derives identical challenges
+# with no broadcast). When the local variables are exhausted the residual
+# [2^n_shard, 1] columns reshape to 1-D and the last n_shard rounds run on
+# the (trivially small) gathered tables — still inside the same program.
+# Transcripts are byte-identical to the host and unsharded fused paths
+# (modular adds are exact, so reduction order cannot change any value).
+
+
+def _shard_layout(spec: PolySpec, n_shard: int):
+    """(local spec with the last block reduced by n_shard, per-table
+    has-shard flags) — the ShardedBlockPoly layout contract."""
+    last = len(spec.block_sizes) - 1
+    sizes = list(spec.block_sizes)
+    sizes[last] -= n_shard
+    spec_local = PolySpec(
+        block_sizes=tuple(sizes),
+        table_blocks=spec.table_blocks,
+        terms=spec.terms,
+    )
+    has_shard = tuple(last in tb for tb in spec.table_blocks)
+    return spec_local, has_shard
+
+
+def _fs_prove_sharded_impl(spec: PolySpec, n_shard: int):
+    from ..parallel.sharded import _mb_fold, _mb_sums
+
+    spec_local, has_shard = _shard_layout(spec, n_shard)
+    n = spec.num_vars()
+    degrees = _round_degrees(spec)
+
+    def impl(tables: Tuple[FArray, ...]):
+        chain = DevChain.fresh(unroll=default_unroll())
+        field = tables[0].field
+        is_gl = field.backend == "goldilocks"
+        cur = spec_local
+        rep_spec = None  # set at the sharded -> replicated transition
+        coeff_rows = []
+        c1 = None
+        any_zero = jnp.asarray(False)
+        r: Optional[FArray] = None
+        dom_coeffs = None
+        for j in range(n):
+            claim = None
+            if r is not None:
+                if rep_spec is None:
+                    tables = _mb_fold(cur, tables, r)
+                    cur = cur.after_fold()
+                else:
+                    tables = _fold_tables(rep_spec, tables, r)
+                    rep_spec = rep_spec.after_fold()
+                claim = _claim_at(field, dom_coeffs, r)
+            if rep_spec is None and cur.num_vars() == 0:
+                # local variables exhausted: the residual [2^n_shard, 1]
+                # (or [1, 1]) tables flatten to 1-D and the remaining
+                # rounds run replicated — axis-0 bit order is already the
+                # internal MSB-first order
+                rep_spec = PolySpec(
+                    block_sizes=(n_shard,),
+                    table_blocks=tuple(
+                        (0,) if hs else () for hs in has_shard
+                    ),
+                    terms=spec.terms,
+                )
+                tables = tuple(t.reshape((-1,)) for t in tables)
+            degree = degrees[j]
+            if rep_spec is None:
+                sums = _mb_sums(
+                    cur, has_shard, tables, degree, n_shard, claim=claim
+                )
+            else:
+                sums = _round_sums(rep_spec, tables, degree, claim=claim)
+            coeffs, dom_coeffs = _interp_coeffs(sums, degree)
+            coeff_rows.append(coeffs)
+            any_zero = _any_zero_coeffs(any_zero, coeffs)
+            chain, c1_j = _absorb_round_msg(chain, j, sums, coeffs, field)
+            c1 = c1_j if j == 0 else c1
+            if j < n - 1:
+                ((rlo, rhi),) = hash_to_field_chain(chain, field, 1)
+                r = FArray((rlo, rhi), field) if is_gl else FArray((rlo,), field)
+        coeff_lo = jnp.stack([c[0] for row in coeff_rows for c in row])
+        coeff_hi = jnp.stack([c[1] for row in coeff_rows for c in row])
+        return jnp.stack(c1), coeff_lo, coeff_hi, any_zero
+
+    return impl
+
+
+@lru_cache(maxsize=None)
+def _fs_prove_sharded_jit(spec: PolySpec, n_shard: int, field: FieldConfig):
+    return jax.jit(_fs_prove_sharded_impl(spec, n_shard))
+
+
+def fs_prove_device_sharded(
+    spec: PolySpec,
+    tables: Sequence[FArray],
+    mesh,
+    n_shard: Optional[int] = None,
+    dst: bytes = b"",
+    axis=None,
+) -> Optional[list]:
+    """The whole FS sumcheck proof in ONE device program ACROSS a mesh.
+
+    ``tables``: 1-D internal-order factor tables (as for fs_prove_device);
+    they are laid out in the ShardedBlockPoly sharding (trailing variables
+    of the last block on the mesh axes) and the unrolled whole-proof
+    program runs under GSPMD. Returns the serialized round messages, or
+    ``None`` for the exact host fallback (unsupported combo / a zero
+    serialized coefficient). Byte-identical to the host loop and to the
+    unsharded fused kernel.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..utils.config import get_config
+
+    field = tables[0].field
+    if not supports_fused_fs(spec, field, dst):
+        return None
+    last = len(spec.block_sizes) - 1
+    if n_shard is None:
+        n_shard = get_config().shard_vars
+    if n_shard is None:
+        n_shard = (mesh.devices.size - 1).bit_length()
+    n_shard = min(n_shard, spec.block_sizes[last])
+    ndev = mesh.devices.size
+    if (1 << n_shard) % ndev != 0:
+        raise ValueError(
+            f"2^n_shard={1 << n_shard} must be divisible by the mesh size "
+            f"{ndev} (shard at least log2(ndev) variables)"
+        )
+    if axis is None:
+        axis = tuple(mesh.axis_names)
+    shard_spec = NamedSharding(mesh, P(axis, None))
+    repl_spec = NamedSharding(mesh, P(None, None))
+    sharded = []
+    for k, t in enumerate(tables):
+        nv = t.shape[0].bit_length() - 1
+        if last in spec.table_blocks[k] and n_shard > 0:
+            limbs = tuple(
+                jax.device_put(
+                    l.reshape(1 << (nv - n_shard), 1 << n_shard).T, shard_spec
+                )
+                for l in t.limbs
+            )
+        else:
+            limbs = tuple(
+                jax.device_put(l.reshape(1, 1 << nv), repl_spec)
+                for l in t.limbs
+            )
+        sharded.append(FArray(limbs, field))
+    fn = _fs_prove_sharded_jit(spec, n_shard, field)
+    c1_arr, coeff_lo, coeff_hi, any_zero = fn(tuple(sharded))
+    if bool(any_zero):
+        return None
+    return _assemble_msgs(
+        np.asarray(c1_arr),
+        np.asarray(coeff_lo),
+        np.asarray(coeff_hi),
+        _round_degrees(spec),
+        field.byte_size,
+    )

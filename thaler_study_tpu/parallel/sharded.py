@@ -495,7 +495,14 @@ def _mb_sums(
     tables: Sequence[FArray],
     degree: int,
     s: int,
+    claim: Optional[FArray] = None,
 ) -> FArray:
+    """Round sums s(0..degree). ``claim``, when given (scalar FArray in the
+    sums domain), replaces the t = 1 product pass with s(1) = claim - s(0)
+    — the fused Fiat-Shamir prover's shortcut (see ops.round_kernel
+    ._round_sums); exact mod p, transcripts unchanged."""
+    if degree < 1:
+        claim = None
     field = tables[0].field
     total_vars = spec.num_vars() + s
     shaped = []
@@ -524,6 +531,9 @@ def _mb_sums(
                 for v, (_, _, d) in zip(prev, shaped)
             ]
         prev = views
+        if claim is not None and t_val == 1:
+            sums.append(None)  # filled from the claim below
+            continue
         acc = None
         for term in spec.terms:
             blocks = set()
@@ -539,6 +549,8 @@ def _mb_sums(
                 total = total * _pow2_scalar(field, missing)
             acc = total if acc is None else acc + total
         sums.append(acc.reshape((1,)))
+    if claim is not None:
+        sums[1] = claim.reshape((1,)) - sums[0]
     out = sums[0]
     for v in sums[1:]:
         out = out.concatenate(v, axis=0)

@@ -141,15 +141,24 @@ class BatchedProductPoly:
 def generate_transcripts_batch(poly: BatchedProductPoly, field: FieldConfig, dst: bytes = b""):
     """Fiat-Shamir transcripts for all B instances. Fast path: the fused
     whole-proof kernel vmapped over the batch — ALL rounds of ALL B proofs
-    in ONE device dispatch (ops/fs_kernel.fs_prove_device_batch). Falls
-    back to one device program per round (each instance keeping its own
-    host hash chain) when the fused kernel does not apply. Byte-identical
-    to per-instance ``generate_transcript`` runs either way."""
+    in ONE device dispatch (ops/fs_kernel.fs_prove_device_batch). An
+    instance whose serialized coefficients hit a zero (value-dependent
+    message lengths; rare) is re-proven ALONE on the exact host loop —
+    the rest of the batch keeps the fused result. Falls back to one device
+    program per round (each instance keeping its own host hash chain) when
+    the fused kernel does not apply at all. Byte-identical to per-instance
+    ``generate_transcript`` runs either way."""
     from ..fiat_shamir.hash_to_field import DefaultFieldHasher
     from ..fiat_shamir.serialize import serialize_c1_and_poly, serialize_unipoly
-    from ..fiat_shamir.transcript import FiatShamirTranscript
+    from ..fiat_shamir.transcript import (
+        FiatShamirTranscript,
+        SumcheckInteractiveProver,
+        generate_transcript,
+    )
     from ..ops.fs_kernel import fs_prove_device_batch
     from ..ops.round_kernel import PolySpec
+    from ..sumcheck import Prover
+    from .factor_poly import ProductPoly
 
     n_fused = poly.num_vars()
     spec = PolySpec(
@@ -160,7 +169,22 @@ def generate_transcripts_batch(poly: BatchedProductPoly, field: FieldConfig, dst
     if poly._degree == len(poly.tables):
         fused = fs_prove_device_batch(spec, poly.tables, dst)
         if fused is not None:
-            return [FiatShamirTranscript(m) for m in fused]
+            out = []
+            for i, msgs in enumerate(fused):
+                if msgs is None:  # per-instance zero-coefficient fallback
+                    inst = ProductPoly(
+                        spec, tuple(t[i] for t in poly.tables)
+                    )
+                    out.append(
+                        generate_transcript(
+                            SumcheckInteractiveProver(Prover(inst)),
+                            field,
+                            dst,
+                        )
+                    )
+                else:
+                    out.append(FiatShamirTranscript(msgs))
+            return out
 
     hasher = DefaultFieldHasher(field, dst)
     n = poly.num_vars()
