@@ -168,3 +168,30 @@ def test_pcs_multi_opening(rng):
     multi2, leaves2 = prover.challenge_many(points2)
     with pytest.raises(EvalMismatch):
         verifier2.verify_prover_reply_many(multi2, leaves2)
+
+
+def test_merkle_golden_anchor():
+    """Spec-derived golden constants (VERDICT r2 next-round #8): the tree's
+    byte layout is leaf = SHA256(b"leaf:" || 8-byte-LE canonical element),
+    node = SHA256(b"node:" || left || right). The hex constants below were
+    derived EXTERNALLY from that spec with hashlib alone (no library code);
+    any drift in serialization, domain tags, or tree shape breaks them —
+    the PCS analogue of tests/data/fs_golden.json."""
+    from thaler_study_tpu.fields import GOLDILOCKS
+    from thaler_study_tpu.pcs.merkle import MerkleTree
+
+    leaves = [0, 1, 2**32 - 1, GOLDILOCKS.p - 1, 123456789, 2**63, 42, 7]
+    tree = MerkleTree(GOLDILOCKS.felts(leaves))
+    assert tree.levels[0][0].hex() == (
+        "21aaa5d3dd60803febac1b63a09bef9adb5ebe92855c5b0ec47e5e2307579248"
+    )
+    assert tree.root().hex() == (
+        "ffa7f0ea170ff2e563cd8c4a67fdad96a9b72bcd1ce69e7b662d2a74b4cef650"
+    )
+    tree4 = MerkleTree(GOLDILOCKS.felts(leaves[:4]))
+    assert tree4.root().hex() == (
+        "2707427a9f95c040960146e40b5734a943bd57ea78c6159e5d64da3d00d90fb1"
+    )
+    # openings against the pinned root verify
+    proof = tree.generate_proof(3)
+    assert proof.verify(tree.root(), GOLDILOCKS.felt(leaves[3]))
