@@ -50,6 +50,60 @@ HBM_GBPS = {
 }
 
 
+def mulcost(np):
+    """VPU uint32 multiply : add cost ratio.
+
+    One jitted ``fori_loop`` whose body applies K data-dependent uint32
+    ops to a 2^22-lane vector — compute-bound (the array stays resident),
+    so total time / (reps * K * lanes) is the per-lane op cost. The same
+    harness runs with multiply and with add; their ratio is the number
+    the --karatsuba level choice hinges on: level 1 trades 4 multiplies
+    for ~10 adds vs schoolbook, level 2 trades 7 for ~25.
+    """
+    import jax.numpy as jnp
+
+    lanes = 1 << 22
+    k_ops = 64
+    reps = 20
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.integers(0, 1 << 32, size=lanes, dtype=np.uint32))
+    y = jnp.asarray(
+        rng.integers(1, 1 << 32, size=lanes, dtype=np.uint32) | np.uint32(1)
+    )
+
+    def harness(op):
+        def chain(x):
+            def body(i, x):
+                for _ in range(k_ops):
+                    x = op(x, y)
+                return x
+
+            return jax.lax.fori_loop(0, reps, body, x)
+
+        fn = jax.jit(chain)
+        np.asarray(fn(x0))  # compile + warm
+        t0 = time.perf_counter()
+        out = fn(x0)
+        np.asarray(out)
+        return (time.perf_counter() - t0) / (reps * k_ops)
+
+    t_mul = harness(lambda a, b: a * b)
+    t_add = harness(lambda a, b: a + b)
+    t_sel = harness(lambda a, b: jnp.where(a > b, a + b, a - b))
+    print(
+        json.dumps(
+            {
+                "bench": "vpu_u32_op_cost",
+                "lanes": lanes,
+                "mul_ns_per_pass": round(t_mul * 1e9, 1),
+                "add_ns_per_pass": round(t_add * 1e9, 1),
+                "select_ns_per_pass": round(t_sel * 1e9, 1),
+                "mul_over_add": round(t_mul / t_add, 2),
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vars", type=int, default=23)
@@ -57,9 +111,20 @@ def main():
     ap.add_argument("--reps", type=int, default=50)
     ap.add_argument(
         "--karatsuba",
-        action="store_true",
-        help="use the 3-mul Karatsuba 64x64 limb product "
+        nargs="?",
+        type=int,
+        const=1,
+        default=0,
+        help="64x64 limb-product decomposition level: 1 = 3x 32x32 "
+        "Karatsuba (12 lane muls), 2 = recursive (9 lane muls) "
         "(fields/goldilocks.set_karatsuba) — run in a fresh process",
+    )
+    ap.add_argument(
+        "--mulcost",
+        action="store_true",
+        help="instead of the round roofline, micro-benchmark the VPU "
+        "uint32 multiply : add cost ratio (decides which --karatsuba "
+        "level should win) and exit",
     )
     args = ap.parse_args()
 
@@ -68,8 +133,10 @@ def main():
     from thaler_study_tpu.fields import GOLDILOCKS, FArray
     from thaler_study_tpu.fields import goldilocks as gl
 
+    if args.mulcost:
+        return mulcost(np)
     if args.karatsuba:
-        gl.set_karatsuba(True)
+        gl.set_karatsuba(args.karatsuba)
     from thaler_study_tpu.ops.round_kernel import PolySpec, _round_step_jit
 
     field = GOLDILOCKS
@@ -167,7 +234,11 @@ def main():
         json.dumps(
             {
                 "bench": "fused_round_roofline",
-                "mul_words": "karatsuba" if args.karatsuba else "schoolbook",
+                "mul_words": (
+                    f"karatsuba{args.karatsuba}"
+                    if args.karatsuba
+                    else "schoolbook"
+                ),
                 "points": 1 << n,
                 "factors": k,
                 "element_bytes": elem_bytes,

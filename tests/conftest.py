@@ -25,6 +25,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the fused whole-proof programs (unrolled SHA-256
+# chains, GSPMD-partitioned over the 8-device mesh) take minutes to compile
+# on CPU; caching them makes repeat suite runs cheap. Safe for concurrent
+# processes (atomic writes).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402

@@ -148,10 +148,19 @@ def test_karatsuba_mul_words_identical():
     ] + [(a, b, c, d) for a in corners for b in corners[:3]
          for c in corners[:3] for d in corners[:3]]
     cols = [jnp.asarray(np.array(c, dtype=np.uint32)) for c in zip(*vals)]
+    from thaler_study_tpu.fields.backend32 import mul32_hilo_k3
+
     school = gl._mul_words_school(*cols)
     kara = gl._mul_words_karatsuba(*cols)
-    for s, k in zip(school, kara):
+    kara2 = gl._mul_words_karatsuba(*cols, mul32=mul32_hilo_k3)
+    for s, k, k2 in zip(school, kara, kara2):
         np.testing.assert_array_equal(np.asarray(s), np.asarray(k))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(k2))
+    # the 3-mul 32x32 primitive alone, against the 4-mul one
+    h4, l4 = gl.mul32_hilo(cols[0], cols[1])
+    h3, l3 = mul32_hilo_k3(cols[0], cols[1])
+    np.testing.assert_array_equal(np.asarray(h4), np.asarray(h3))
+    np.testing.assert_array_equal(np.asarray(l4), np.asarray(l3))
     # and the full 128-bit value matches python bigints
     w = [np.asarray(x, dtype=np.uint64) for x in kara]
     for i, (alo, ahi, blo, bhi) in enumerate(vals):

@@ -106,6 +106,7 @@ def test_fused_mixed_layer_sizes():
     assert list(t_host.g) == list(t_fused.g)
 
 
+@pytest.mark.slow  # minutes-long GSPMD compiles of the fused layer programs
 @pytest.mark.parametrize("dcn", [1, 2, 8], ids=["1x8", "2x4", "8x1"])
 def test_fused_sharded_matches_host_transcript(dcn):
     """The fused prover across a mesh (GSPMD-partitioned layer programs):

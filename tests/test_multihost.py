@@ -113,7 +113,17 @@ def test_triangle_on_2d_mesh(rng):
     assert t_mesh.to_bytes() == t_local.to_bytes()
 
 
-@pytest.mark.parametrize("dcn", [1, 2, 8], ids=["1x8", "2x4", "8x1"])
+@pytest.mark.parametrize(
+    "dcn",
+    [
+        1,
+        # one mesh shape in the default tier is the composition smoke test;
+        # the other shapes recompile the whole GSPMD program (minutes each)
+        pytest.param(2, marks=pytest.mark.slow),
+        pytest.param(8, marks=pytest.mark.slow),
+    ],
+    ids=["1x8", "2x4", "8x1"],
+)
 def test_fused_sharded_transcript_identical(dcn, rng):
     """The FUSED whole-proof kernel under mesh sharding: one GSPMD device
     program across every mesh shape, byte-identical to the host loop and

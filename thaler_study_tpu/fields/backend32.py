@@ -50,6 +50,52 @@ def mul32_hilo(a, b):
     return hi, lo
 
 
+def mul32_hilo_k3(a, b):
+    """Full 32x32 -> 64 as (hi, lo) with THREE 16x16 lane multiplies.
+
+    Karatsuba at the 16-bit level: mid = a_lo*b_hi + a_hi*b_lo is recovered
+    from (a_lo + a_hi)(b_lo + b_hi) - ll - hh. The 17-bit limb sums split
+    as (16-bit word, carry bit); the carry cross terms come back as
+    predicated shifted adds (selects, no multiplies). Word-exact vs
+    :func:`mul32_hilo` — see ``fields/goldilocks.set_karatsuba(2)``.
+    """
+    a = a.astype(U32)
+    b = b.astype(U32)
+    a_lo = a & _MASK16
+    a_hi = a >> 16
+    b_lo = b & _MASK16
+    b_hi = b >> 16
+
+    ll = a_lo * b_lo
+    hh = a_hi * b_hi
+    sa = a_lo + a_hi  # <= 2^17 - 2
+    sb = b_lo + b_hi
+    ea = sa >> 16  # 0 or 1
+    eb = sb >> 16
+    u = sa & _MASK16
+    v = sb & _MASK16
+    m = u * v  # exact: < 2^32
+
+    # sa*sb as 64-bit (s_hi, s_lo) = m + (ea?v:0 + eb?u:0) << 16 + (ea&eb) << 32
+    zero = jnp.zeros_like(a)
+    t = jnp.where(ea == 1, v, zero) + jnp.where(eb == 1, u, zero)  # <= 2^17-2
+    s_lo = m + (t << 16)
+    s_hi = (ea & eb) + (t >> 16) + (s_lo < m).astype(U32)
+    # mid = sa*sb - ll - hh  (= a_lo*b_hi + a_hi*b_lo < 2^33, so s_hi ends
+    # in {0, 1}; it cannot underflow because the true mid is >= 0)
+    d0 = s_lo - ll
+    s_hi = s_hi - (s_lo < ll).astype(U32)
+    s_lo = d0
+    d1 = s_lo - hh
+    s_hi = s_hi - (s_lo < hh).astype(U32)
+    s_lo = d1
+
+    lo = ll + (s_lo << 16)
+    lo_carry = (lo < ll).astype(U32)
+    hi = hh + (s_lo >> 16) + (s_hi << 16) + lo_carry
+    return hi, lo
+
+
 def mullo32(a, b):
     """Low 32 bits of the product (wrapping uint32 multiply)."""
     return (a.astype(U32) * b.astype(U32)).astype(U32)

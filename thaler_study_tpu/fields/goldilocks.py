@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .backend32 import mul32_hilo
+from .backend32 import mul32_hilo, mul32_hilo_k3
 
 import numpy as np
 
@@ -95,22 +95,31 @@ def neg(alo, ahi):
 def _mul_words(alo, ahi, blo, bhi):
     """Full 64x64 -> 128-bit product as four uint32 words (w0..w3).
 
-    Dispatches on the module switch ``use_karatsuba`` (see
-    :func:`set_karatsuba`): schoolbook = four 32x32 products, karatsuba =
-    three plus extra carry bookkeeping. Both produce the identical exact
-    words, so the switch can never change a transcript byte."""
-    if _USE_KARATSUBA[0]:
-        return _mul_words_karatsuba(alo, ahi, blo, bhi)
+    Dispatches on the module switch (see :func:`set_karatsuba`):
+    level 0 = schoolbook (four 32x32 products = 16 lane multiplies),
+    level 1 = Karatsuba over 32-bit halves (three 32x32 = 12 lane
+    multiplies), level 2 = Karatsuba at BOTH levels (three 3-multiply
+    32x32s = 9 lane multiplies, more carry/select bookkeeping). All
+    produce the identical exact words, so the switch can never change a
+    transcript byte; which level is fastest depends on the VPU's
+    multiply : add cost ratio (benches/roofline.py --mulcost)."""
+    level = _KARATSUBA_LEVEL[0]
+    if level >= 1:
+        return _mul_words_karatsuba(
+            alo, ahi, blo, bhi, mul32_hilo_k3 if level >= 2 else mul32_hilo
+        )
     return _mul_words_school(alo, ahi, blo, bhi)
 
 
-def set_karatsuba(on: bool) -> None:
-    """Select the 3-mul Karatsuba 64x64 limb product. Callers must clear
-    jit caches themselves if flipping mid-process (benchmarks only)."""
-    _USE_KARATSUBA[0] = on
+def set_karatsuba(level) -> None:
+    """Select the 64x64 limb-product decomposition: 0/False = schoolbook,
+    1/True = 3x 32x32 Karatsuba, 2 = recursive (9 lane multiplies).
+    Callers must clear jit caches themselves if flipping mid-process
+    (benchmarks only)."""
+    _KARATSUBA_LEVEL[0] = int(level)
 
 
-_USE_KARATSUBA = [False]
+_KARATSUBA_LEVEL = [0]
 
 
 def _mul_words_school(alo, ahi, blo, bhi):
@@ -134,7 +143,7 @@ def _mul_words_school(alo, ahi, blo, bhi):
     return w0, w1, w2, w3
 
 
-def _mul_words_karatsuba(alo, ahi, blo, bhi):
+def _mul_words_karatsuba(alo, ahi, blo, bhi, mul32=mul32_hilo):
     """Karatsuba 64x64 -> 128: THREE 32x32 products instead of four
     (VERDICT r2 next-round #4 — the round kernel is VPU-multiply bound).
 
@@ -142,12 +151,14 @@ def _mul_words_karatsuba(alo, ahi, blo, bhi):
     The 33-bit sums are carried as (u32, carry-bit); the cross terms the
     carries drop are added back as predicated 2^32-offset adds (selects,
     not multiplies). All words exact — output identical to _mul_words.
+    ``mul32`` selects the 32x32 primitive (4-multiply schoolbook or the
+    3-multiply backend32.mul32_hilo_k3 for the recursive level).
     """
-    hl0, ll0 = mul32_hilo(alo, blo)  # ll = alo*blo
-    hh1, lh1 = mul32_hilo(ahi, bhi)  # hh = ahi*bhi
+    hl0, ll0 = mul32(alo, blo)  # ll = alo*blo
+    hh1, lh1 = mul32(ahi, bhi)  # hh = ahi*bhi
     sa, ca = _carry_add(alo, ahi)
     sb, cb = _carry_add(blo, bhi)
-    sh, sl = mul32_hilo(sa, sb)
+    sh, sl = mul32(sa, sb)
     zero = jnp.zeros_like(alo)
     # m (96-bit, m2 <= 3 transiently) = sa*sb + ca*sb*2^32 + cb*sa*2^32
     #                                 + ca*cb*2^64
