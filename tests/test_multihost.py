@@ -152,6 +152,29 @@ def test_fused_sharded_transcript_identical(dcn, rng):
     assert sharded == unsharded
 
 
+def test_fused_sharded_mont32_transcript(rng):
+    """mont32 fields through the sharded fused kernel (the Montgomery-
+    domain tables and big-endian Horner hash-to-field lift must survive
+    GSPMD partitioning unchanged): byte-identical to the host loop."""
+    from thaler_study_tpu.ops.fs_kernel import fs_prove_device_sharded
+    from thaler_study_tpu.parallel import make_mesh
+
+    field = F1572869
+    n, k = 5, 2
+    tables = _tables(field, n, k, rng)
+    spec = PolySpec(
+        block_sizes=(n,),
+        table_blocks=tuple((0,) for _ in range(k)),
+        terms=(tuple(range(k)),),
+    )
+    host = generate_transcript(
+        SumcheckInteractiveProver(Prover(ProductPoly(spec, tables))), field
+    )
+    sharded = fs_prove_device_sharded(spec, tables, make_mesh(), n_shard=3)
+    assert sharded is not None
+    assert [m.hex() for m in sharded] == [m.hex() for m in host.g]
+
+
 def test_fused_sharded_triangle_transcript(rng):
     """Multi-block (triangle) spec through the sharded fused kernel: the
     trailing Z variables shard over the mesh; transcript byte-identical."""
