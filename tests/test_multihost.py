@@ -200,6 +200,62 @@ def test_fused_sharded_triangle_transcript(rng):
     assert [m.hex() for m in sharded] == [m.hex() for m in host.g]
 
 
+@pytest.mark.slow  # ~6 fresh GSPMD whole-proof compiles
+def test_fused_sharded_random_specs(rng):
+    """Property fuzz: random multi-block PolySpecs through the sharded
+    fused kernel vs the exact host loop (the sharded analogue of
+    tests/test_round_kernel_fuzz.py). Fixed seed so the compile cache
+    holds across runs."""
+    import random as _random
+
+    from thaler_study_tpu.ops.fs_kernel import (
+        fs_prove_device_sharded,
+        supports_fused_fs,
+    )
+    from thaler_study_tpu.parallel import make_mesh
+
+    field = GOLDILOCKS
+    srng = _random.Random(777)
+    mesh = make_mesh()
+    ran = 0
+    for _ in range(10):
+        if ran >= 5:
+            break
+        nblocks = srng.choice([1, 2, 3])
+        sizes = [srng.randint(1, 2) for _ in range(nblocks)]
+        sizes[-1] = srng.randint(3, 4)  # last block shards over the mesh
+        ntables = srng.randint(1, 3)
+        table_blocks = []
+        for _ in range(ntables):
+            cover = sorted(srng.sample(range(nblocks), srng.randint(1, nblocks)))
+            table_blocks.append(tuple(cover))
+        covered = set().union(*map(set, table_blocks))
+        for b in range(nblocks):
+            if b not in covered:
+                table_blocks[0] = tuple(sorted(set(table_blocks[0]) | {b}))
+        terms = tuple(
+            tuple(sorted(srng.sample(range(ntables), srng.randint(1, ntables))))
+            for _ in range(srng.randint(1, 2))
+        )
+        spec = PolySpec(tuple(sizes), tuple(table_blocks), terms)
+        if not supports_fused_fs(spec, field, b""):
+            continue
+        tables = [
+            _tables(field, sum(sizes[b] for b in tb), 1, rng)[0]
+            for tb in table_blocks
+        ]
+        host = generate_transcript(
+            SumcheckInteractiveProver(Prover(ProductPoly(spec, tables))),
+            field,
+        )
+        sharded = fs_prove_device_sharded(spec, tables, mesh, n_shard=3)
+        if sharded is None:  # zero-coefficient fallback: the host loop IS it
+            continue
+        assert [m.hex() for m in sharded] == [m.hex() for m in host.g], spec
+        ran += 1
+    assert ran >= 3, "fuzz exercised too few supported specs"
+
+
 def test_fused_sharded_full_shard(rng):
     """Edge case: EVERY variable of the last block sharded (no local Z
     columns) still produces the byte-identical transcript."""
