@@ -9,12 +9,13 @@ and device-side tables are uint32 limb arrays operated on by the backends in
 (p = 2^64 - 2^32 + 1, the production 64-bit field).
 """
 
-from .field import FieldConfig, Felt, F5, F389, F1572869, GOLDILOCKS, BABYBEAR
+from .field import FieldConfig, Felt, FeltVector, F5, F389, F1572869, GOLDILOCKS, BABYBEAR
 from .farray import FArray
 
 __all__ = [
     "FieldConfig",
     "Felt",
+    "FeltVector",
     "FArray",
     "F5",
     "F389",

@@ -137,6 +137,19 @@ class FArray:
         hi = np.asarray(jax.device_get(self.limbs[1])).astype(object)
         return np.asarray(lo + (hi << 32), dtype=object)
 
+    def to_u64(self) -> np.ndarray:
+        """Canonical integer values as np.uint64 — exact for every backend
+        (p < 2^64), and ~100x cheaper than the object-array :meth:`to_ints`
+        at 2^20+ elements (no per-element python-int boxing)."""
+        f = self.field
+        if f.backend == "mont32":
+            raw = np.asarray(jax.device_get(self.limbs[0]))
+            rinv = np.uint64(pow(f.mont_r, -1, f.p))
+            return (raw.astype(np.uint64) * rinv) % np.uint64(f.p)
+        lo = np.asarray(jax.device_get(self.limbs[0])).astype(np.uint64)
+        hi = np.asarray(jax.device_get(self.limbs[1])).astype(np.uint64)
+        return lo | (hi << np.uint64(32))
+
     def to_felts(self) -> list:
         return [Felt(int(v), self.field) for v in self.to_ints().ravel()]
 

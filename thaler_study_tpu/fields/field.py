@@ -206,6 +206,52 @@ class Felt:
         return cls(v, field)
 
 
+class FeltVector:
+    """A vector of field elements stored in bulk (int list or uint64 array).
+
+    Megabyte-scale protocol messages (the GKR ``Begin`` claim over a
+    2^20-gate output layer) would otherwise construct one :class:`Felt`
+    object per element (~1 us each — seconds per message at 2^24 gates).
+    This behaves like ``List[Felt]`` (len / index / slice / iterate /
+    compare) while keeping the data bulk; bulk consumers read ``.ints``
+    directly (the verifier's MLE evaluation and the serializer both accept
+    either representation)."""
+
+    __slots__ = ("ints", "field")
+
+    def __init__(self, ints, field: FieldConfig):
+        self.ints = ints  # List[int] or np.ndarray[uint64]
+        self.field = field
+
+    def __len__(self) -> int:
+        return len(self.ints)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [Felt(int(v), self.field) for v in self.ints[i]]
+        return Felt(int(self.ints[i]), self.field)
+
+    def __iter__(self):
+        field = self.field
+        for v in self.ints:
+            yield Felt(int(v), field)
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, FeltVector):
+            if self.field != other.field or len(self.ints) != len(other.ints):
+                return False
+            return all(int(a) == int(b) for a, b in zip(self.ints, other.ints))
+        if isinstance(other, (list, tuple)):
+            return len(other) == len(self.ints) and all(
+                isinstance(f, Felt) and f.v == int(v)
+                for f, v in zip(other, self.ints)
+            )
+        return NotImplemented
+
+    def __repr__(self) -> str:
+        return f"FeltVector(n={len(self.ints)}, field={self.field.name})"
+
+
 GOLDILOCKS_P = (1 << 64) - (1 << 32) + 1
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional, Sequence
 
-from ..fields import Felt, FieldConfig
+from ..fields import Felt, FeltVector, FieldConfig
 from ..mle.dense import DenseMLE
 from ..sumcheck import (
     FeltRng,
@@ -43,7 +43,7 @@ class WrongVerifierState(GKRError):
 class Begin:
     """Prover's opening claim about the circuit outputs (ref :246-249)."""
 
-    circuit_outputs: List[Felt]
+    circuit_outputs: List[Felt]  # or FeltVector (bulk-int backed)
 
 
 @dataclasses.dataclass
@@ -123,17 +123,21 @@ def restrict_poly(
     return lagrange_interpolate(list(zip(t_felts, values)), field)
 
 
-def _mle_eval(evals: List[Felt], point: Sequence[Felt], field: FieldConfig) -> Felt:
+def _mle_eval(evals, point: Sequence[Felt], field: FieldConfig) -> Felt:
     """Evaluate the MLE of a value vector at a field point — host for small
-    vectors, device folds for large."""
+    vectors, device folds for large. ``evals``: List[Felt] or FeltVector
+    (the bulk-int fast path: no per-element Felt construction)."""
     from .. import runtime
 
     n = len(point)
     assert len(evals) == 1 << n
+    ints = (
+        evals.ints
+        if isinstance(evals, FeltVector)
+        else [e.v for e in evals]
+    )
     return Felt(
-        runtime.mle_eval(
-            [e.v for e in evals], [x.v for x in point], field.p
-        ),
+        runtime.mle_eval(ints, [x.v for x in point], field.p),
         field,
     )
 
@@ -190,13 +194,12 @@ class Prover:
         self.r: List[Felt] = []
 
     def _layer_host(self, i: int):
-        """Layer i values as host ints (device layers pulled lazily)."""
+        """Layer i values as a host uint64 array (device layers pulled
+        lazily; exact — p < 2^64 for every backend)."""
         if not self.device_forward:
             return self.layers_u64[i]
         if i not in self._layers_host_cache:
-            self._layers_host_cache[i] = [
-                int(v) for v in self.layers_dev[i].to_ints()
-            ]
+            self._layers_host_cache[i] = self.layers_dev[i].to_u64()
         return self._layers_host_cache[i]
 
     @property
@@ -213,9 +216,7 @@ class Prover:
     def start_protocol(self) -> Begin:
         """Send W_0, the claimed output values (ref :363-367)."""
         return Begin(
-            circuit_outputs=[
-                Felt(int(v), self.field) for v in self._layer_host(0)
-            ]
+            circuit_outputs=FeltVector(self._layer_host(0), self.field)
         )
 
     def start_round(self, i: int, r_i: Sequence[Felt]) -> StartSumCheck:

@@ -41,6 +41,8 @@ from __future__ import annotations
 import struct
 from typing import List, Optional, Tuple
 
+import numpy as np
+
 from ..fiat_shamir.hash_to_field import XmdChain
 from ..fiat_shamir.serialize import (
     deserialize_felt,
@@ -49,7 +51,7 @@ from ..fiat_shamir.serialize import (
     serialize_unipoly,
 )
 from ..fiat_shamir.transcript import FiatShamirTranscript, SerializationError
-from ..fields import Felt, FieldConfig
+from ..fields import Felt, FeltVector, FieldConfig
 from ..sumcheck import JthRound, RandNums
 from .protocol import (
     Begin,
@@ -76,9 +78,33 @@ _TAG_FINAL = 3
 
 def serialize_gkr_message(msg) -> bytes:
     if isinstance(msg, Begin):
-        out = [bytes([_TAG_BEGIN]), struct.pack("<Q", len(msg.circuit_outputs))]
-        out.extend(serialize_felt(f) for f in msg.circuit_outputs)
-        return b"".join(out)
+        outs = msg.circuit_outputs
+        header = bytes([_TAG_BEGIN]) + struct.pack("<Q", len(outs))
+        if len(outs):
+            field_ = (
+                outs.field if isinstance(outs, FeltVector) else outs[0].field
+            )
+            size = field_.byte_size
+            if size <= 8:
+                # bulk LE encode: at a 2^20-output layer this message is
+                # megabytes; per-felt to_bytes calls dominate otherwise
+                vals = np.asarray(
+                    outs.ints
+                    if isinstance(outs, FeltVector)
+                    else [f.v for f in outs],
+                    dtype=np.uint64,
+                )
+                body = (
+                    vals.astype("<u8").tobytes()
+                    if size == 8
+                    else np.ascontiguousarray(
+                        vals.astype("<u8").view(np.uint8).reshape(-1, 8)[
+                            :, :size
+                        ]
+                    ).tobytes()
+                )
+                return header + body
+        return header + b"".join(serialize_felt(f) for f in outs)
     if isinstance(msg, StartSumCheck):
         return (
             bytes([_TAG_START])
@@ -102,6 +128,22 @@ def deserialize_gkr_message(data: bytes, field: FieldConfig):
     tag = data[0]
     if tag == _TAG_BEGIN:
         (n,) = struct.unpack_from("<Q", data, 1)
+        size = field.byte_size
+        if size <= 8:
+            # bulk LE decode (see serialize_gkr_message): one numpy pass
+            # instead of n per-felt python calls
+            if len(data) != 9 + n * size:
+                raise SerializationError("trailing bytes in Begin")
+            raw = np.frombuffer(data, dtype=np.uint8, count=n * size, offset=9)
+            padded = np.zeros((n, 8), dtype=np.uint8)
+            padded[:, :size] = raw.reshape(n, size)
+            vals = padded.view("<u8").reshape(n)
+            if bool((vals >= np.uint64(field.p)).any()):
+                raise ValueError("non-canonical field element")
+            # FeltVector keeps the uint64 array as-is — no per-element
+            # python-int or Felt construction; the verifier's MLE
+            # evaluation consumes the array directly
+            return Begin(circuit_outputs=FeltVector(vals, field))
         offset = 9
         outs = []
         for _ in range(n):
