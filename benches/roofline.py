@@ -90,6 +90,36 @@ def mulcost(np):
     t_mul = harness(lambda a, b: a * b)
     t_add = harness(lambda a, b: a + b)
     t_sel = harness(lambda a, b: jnp.where(a > b, a + b, a - b))
+
+    # Alternative-multiplier probes (same harness, different dtype lanes).
+    # u16: is a narrower integer multiply lowered more cheaply by XLA?
+    # f32 mul / fma: would a float digit decomposition (10-bit digits exact
+    # in the 24-bit mantissa) beat emulated integer multiplies? A goldilocks
+    # 64x64 product needs 16 u32-widening muls schoolbook vs ~49 exact-f32
+    # digit products, so f32 only wins below ~0.33x the u32 mul cost.
+    x16 = x0.astype(jnp.uint16)
+    y16 = y.astype(jnp.uint16)
+    xf = (x0 >> 12).astype(jnp.float32)
+    yf = (y >> 12).astype(jnp.float32)
+
+    def harness_xy(op, x_init, yv):
+        def chain(x):
+            def body(i, x):
+                for _ in range(k_ops):
+                    x = op(x, yv)
+                return x
+
+            return jax.lax.fori_loop(0, reps, body, x)
+
+        fn = jax.jit(chain)
+        np.asarray(fn(x_init))
+        t0 = time.perf_counter()
+        np.asarray(fn(x_init))
+        return (time.perf_counter() - t0) / (reps * k_ops)
+
+    t_mul16 = harness_xy(lambda a, b: a * b, x16, y16)
+    t_mulf = harness_xy(lambda a, b: a * b, xf, yf)
+    t_fmaf = harness_xy(lambda a, b: a * b + b, xf, yf)
     print(
         json.dumps(
             {
@@ -99,6 +129,10 @@ def mulcost(np):
                 "add_ns_per_pass": round(t_add * 1e9, 1),
                 "select_ns_per_pass": round(t_sel * 1e9, 1),
                 "mul_over_add": round(t_mul / t_add, 2),
+                "u16_mul_ns_per_pass": round(t_mul16 * 1e9, 1),
+                "f32_mul_ns_per_pass": round(t_mulf * 1e9, 1),
+                "f32_fma_ns_per_pass": round(t_fmaf * 1e9, 1),
+                "f32_mul_over_u32_mul": round(t_mulf / t_mul, 3),
             }
         )
     )
