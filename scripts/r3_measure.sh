@@ -44,10 +44,10 @@ run mulcost     2400 python benches/roofline.py --mulcost
 run roofline_k0 2400 python benches/roofline.py
 run roofline_k1 2400 python benches/roofline.py --karatsuba 1
 run roofline_k2 2400 python benches/roofline.py --karatsuba 2
+run headline    3600 python bench.py
 run gkr24_full  7200 python benches/gkr_benchmark.py --depth 16 --width-log 20 --fused
 THALER_GKR_PLAN=1 run gkr24_plan1 7200 python benches/gkr_benchmark.py \
   --depth 16 --width-log 20 --fused --breakdown --skip-verify
 THALER_GKR_PLAN=0 run gkr24_plan0 7200 python benches/gkr_benchmark.py \
   --depth 16 --width-log 20 --fused --breakdown --skip-verify
-run headline    3600 python bench.py
 status "ALL DONE"
