@@ -64,3 +64,35 @@ def test_supports_rejects_unsuitable():
     assert not pallas_round.supports(spec_multi, GOLDILOCKS, 1 << 13)
     spec_small = PolySpec(block_sizes=(4,), table_blocks=((0,), (0,)), terms=((0, 1),))
     assert not pallas_round.supports(spec_small, GOLDILOCKS, 1 << 4)
+
+
+@pytest.mark.parametrize("field", [F1572869], ids=lambda f: f.name)
+def test_pallas_claim_shortcut_bit_identical(field, rng):
+    """The claim-shortcut kernel (t = 1 product pass skipped, s(1) filled
+    as claim - s(0)) returns bit-identical sums and folded tables."""
+    n, k = 12, 2
+    spec = PolySpec(
+        block_sizes=(n,),
+        table_blocks=tuple((0,) for _ in range(k)),
+        terms=(tuple(range(k)),),
+    )
+    tables = []
+    for _ in range(k):
+        evals = np.array(
+            [rng.randrange(field.p) for _ in range(1 << n)], dtype=np.uint64
+        )
+        tables.append(DenseMLE.from_evals_lsb(evals, n, field).evals)
+    r = FArray.scalar(field.felt(rng.randrange(field.p)))
+
+    sums_ref, folded_ref = pallas_round.pallas_round_step(spec, tables, r)
+    felts = sums_ref.to_felts()
+    claim = FArray.scalar(felts[0] + felts[1])  # the true round claim
+
+    sums_c, folded_c = pallas_round.pallas_round_step(
+        spec, tables, r, claim=claim
+    )
+    assert [int(v) for v in sums_c.to_ints()] == [
+        int(v) for v in sums_ref.to_ints()
+    ]
+    for fc, fr in zip(folded_c, folded_ref):
+        assert (np.asarray(fc.to_ints()) == np.asarray(fr.to_ints())).all()

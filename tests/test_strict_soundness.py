@@ -132,6 +132,85 @@ def test_strict_accepts_honest_run():
     assert isinstance(res, FinalRound) and res.accepted
 
 
+def _forged_overdegree_middle():
+    """Honest messages except g_2 is replaced by g_2 + x(x-1)(x-r_2): the
+    vanishing factor preserves g_2(0), g_2(1) and g_2(r_2), so every sum /
+    oracle check still passes — but deg(g_2') = 3 > deg_{x_2}(g) = 1."""
+    field = F389
+    n = 3
+    rng = SeededRng(3)
+    challenges = [rng.draw(field) for _ in range(n)]
+    prover = Prover(_book_poly())
+    msgs = [prover.round(field.one(), 0)]
+    for j in range(1, n):
+        msgs.append(prover.round(challenges[j - 1], j))
+    r_2 = challenges[1]
+    vanish = UniPoly.from_coeffs(
+        [field.zero(), r_2, -(field.one() + r_2), field.one()], field
+    )
+    forged = msgs[1] + vanish
+    assert forged.evaluate(field.zero()) == msgs[1].evaluate(field.zero())
+    assert forged.evaluate(field.one()) == msgs[1].evaluate(field.one())
+    assert forged.evaluate(r_2) == msgs[1].evaluate(r_2)
+    assert forged.degree() == 3
+    msgs[1] = forged
+    return msgs, Prover(_book_poly()).c_1()
+
+
+def test_default_accepts_overdegree_middle_round():
+    """Parity: the reference never bounds deg(g_j), so the forgery passes."""
+    msgs, c_1 = _forged_overdegree_middle()
+    v = Verifier(3, _book_poly())
+    v.set_c_1(c_1)
+    res = _drive(v, msgs, SeededRng(3))
+    assert isinstance(res, FinalRound) and res.accepted
+
+
+def test_strict_rejects_overdegree_middle_round_no_args():
+    """strict=True alone (no max_degree) now derives deg_{x_j}(g) from the
+    oracle's structure and rejects the over-degree middle round."""
+    msgs, c_1 = _forged_overdegree_middle()
+    v = Verifier(3, _book_poly(), strict=True)
+    v.set_c_1(c_1)
+    with pytest.raises(ProverClaimMismatch, match="degree bound"):
+        _drive(v, msgs, SeededRng(3))
+
+
+def test_strict_self_derived_bound_accepts_honest_run():
+    """strict with no max_degree: honest degrees (3, 1, 1) all pass."""
+    field = F389
+    g = _book_poly()
+    assert [g.round_degree(j) for j in range(3)] == [3, 1, 1]
+    prover = Prover(_book_poly())
+    v = Verifier(3, g, strict=True)
+    v.set_c_1(prover.c_1())
+    rng = SeededRng(3)
+    r_j = field.one()
+    for j in range(3):
+        res = v.round(prover.round(r_j, j), rng)
+        if isinstance(res, JthRound):
+            r_j = res.r
+    assert isinstance(res, FinalRound) and res.accepted
+
+
+def test_product_poly_round_degrees():
+    """PolySpec round degrees: 2-factor product over one 3-var block is
+    degree 2 each round; a triangle-style 3-block spec steps 2/2/2 per
+    block phase (each factor pair shares the active block)."""
+    from thaler_study_tpu.ops.round_kernel import PolySpec
+
+    spec = PolySpec(
+        block_sizes=(3,), table_blocks=((0,), (0,)), terms=((0, 1),)
+    )
+    assert spec.round_degrees() == (2, 2, 2)
+    tri = PolySpec(
+        block_sizes=(1, 1, 1),
+        table_blocks=((0, 1), (1, 2), (0, 2)),
+        terms=((0, 1, 2),),
+    )
+    assert tri.round_degrees() == (2, 2, 2)
+
+
 # ---------------------------------------------------------------------------
 # GKR: the q-degree TODO (ref gkr-protocol/src/lib.rs:149-151)
 # ---------------------------------------------------------------------------

@@ -176,7 +176,14 @@ def _lane_reduce_words(field: FieldConfig, a: Tuple, b: Tuple) -> Tuple:
     return (b32.from_mont(p, pinv, acc),)
 
 
-def _make_kernel(field: FieldConfig, k: int, degree: int, rows: int):
+def _make_kernel(
+    field: FieldConfig, k: int, degree: int, rows: int, skip_t1: bool = False
+):
+    """``skip_t1``: the round claim c = s(0) + s(1) is known to the caller
+    (every Fiat-Shamir round after the first), so the t = 1 hypercube
+    product pass — one full _mul_words + lane reduction over the tile —
+    is skipped; the caller fills s(1) = c - s(0). The t >= 2 views still
+    accumulate through the same adds, so all other sums are bit-identical."""
     nl, add, sub, mul = _field_ops(field)
 
     def kernel(*refs):
@@ -223,6 +230,9 @@ def _make_kernel(field: FieldConfig, k: int, degree: int, rows: int):
                 views = list(f_hi)
             else:
                 views = [add(v, d) for v, d in zip(views, deltas)]
+            if t == 1 and skip_t1:
+                tile_sums.append(None)  # s(1) = claim - s(0), host-filled
+                continue
             if len(views) == 1:
                 tile_sums.append(_lane_reduce_tile(field, views[0]))
             else:
@@ -238,6 +248,8 @@ def _make_kernel(field: FieldConfig, k: int, degree: int, rows: int):
             sums_ref[...] = jnp.zeros_like(sums_ref)
 
         for t in range(degree + 1):
+            if tile_sums[t] is None:
+                continue
             cur = tuple(
                 sums_ref[t : t + 1, limb : limb + 1] for limb in range(nl)
             )
@@ -249,7 +261,13 @@ def _make_kernel(field: FieldConfig, k: int, degree: int, rows: int):
 
 
 @lru_cache(maxsize=None)
-def _build_call(field: FieldConfig, k: int, degree: int, n_points: int):
+def _build_call(
+    field: FieldConfig,
+    k: int,
+    degree: int,
+    n_points: int,
+    skip_t1: bool = False,
+):
     """Build the pallas_call for a round over tables of n_points entries."""
     nl, _, _, _ = _field_ops(field)
     quarter = n_points // 4
@@ -291,7 +309,7 @@ def _build_call(field: FieldConfig, k: int, degree: int, n_points: int):
     )
     out_shapes.append(jax.ShapeDtypeStruct((degree + 1, nl), jnp.uint32))
 
-    kernel = _make_kernel(field, k, degree, rows)
+    kernel = _make_kernel(field, k, degree, rows, skip_t1=skip_t1)
 
     call = pl.pallas_call(
         kernel,
@@ -302,7 +320,7 @@ def _build_call(field: FieldConfig, k: int, degree: int, n_points: int):
         interpret=INTERPRET,
     )
 
-    def run(tables: Sequence[FArray], r: FArray):
+    def run(tables: Sequence[FArray], r: FArray, claim: Optional[FArray] = None):
         args = [jnp.stack([l.reshape(()) for l in r.limbs]).reshape(1, nl)]
         for t in tables:
             for l in t.limbs:
@@ -324,14 +342,28 @@ def _build_call(field: FieldConfig, k: int, degree: int, n_points: int):
         sums = FArray(
             tuple(sums_raw[:, limb] for limb in range(nl)), field
         )
+        if skip_t1:
+            # s(1) = claim - s(0): exact mod p, bit-identical to the
+            # skipped product pass (the classic FS prover shortcut)
+            s1 = (claim.reshape(()) - sums[0]).reshape((1,))
+            tail = FArray(
+                tuple(sums_raw[2:, limb] for limb in range(nl)), field
+            )
+            sums = sums[0:1].concatenate(s1, axis=0).concatenate(tail, axis=0)
         return sums, tuple(folded)
 
     return run
 
 
 @lru_cache(maxsize=None)
-def _build_call_jit(field: FieldConfig, k: int, degree: int, n_points: int):
-    return jax.jit(_build_call(field, k, degree, n_points))
+def _build_call_jit(
+    field: FieldConfig,
+    k: int,
+    degree: int,
+    n_points: int,
+    skip_t1: bool = False,
+):
+    return jax.jit(_build_call(field, k, degree, n_points, skip_t1))
 
 
 def supports(
@@ -358,23 +390,35 @@ def supports(
         return False
 
 
-def pallas_round_step(spec, tables: Sequence[FArray], r: FArray):
+def pallas_round_step(
+    spec, tables: Sequence[FArray], r: FArray, claim: Optional[FArray] = None
+):
     """Fused fold + round sums via the Pallas kernel.
 
-    Matches ops.round_kernel.round_step(spec, tables, r) for supported specs.
+    Matches ops.round_kernel.round_step(spec, tables, r) for supported
+    specs. With ``claim`` (the known round claim c = g_prev(r_prev), a
+    scalar FArray), the t = 1 product pass is skipped in the kernel and
+    s(1) = claim - s(0) — exact mod p, transcripts unchanged.
     """
     field = tables[0].field
     k = len(tables)
     degree = spec.after_fold().degree()
-    fn = _build_call_jit(field, k, degree, tables[0].shape[0])
+    skip = claim is not None and degree >= 1
+    fn = _build_call_jit(field, k, degree, tables[0].shape[0], skip)
+    if skip:
+        return fn(tuple(tables), r, claim)
     return fn(tuple(tables), r)
 
 
-def pallas_round_step_raw(spec, tables: Sequence[FArray], r: FArray):
+def pallas_round_step_raw(
+    spec, tables: Sequence[FArray], r: FArray, claim: Optional[FArray] = None
+):
     """Unjitted traceable body — for embedding inside outer jitted loops
     (a nested jit around pallas_call breaks fori_loop lowering)."""
     field = tables[0].field
-    fn = _build_call(
-        field, len(tables), spec.after_fold().degree(), tables[0].shape[0]
-    )
+    degree = spec.after_fold().degree()
+    skip = claim is not None and degree >= 1
+    fn = _build_call(field, len(tables), degree, tables[0].shape[0], skip)
+    if skip:
+        return fn(tuple(tables), r, claim)
     return fn(tuple(tables), r)

@@ -68,6 +68,17 @@ class PolySpec:
     def num_vars(self) -> int:
         return sum(self.block_sizes)
 
+    def round_degrees(self) -> Tuple[int, ...]:
+        """Per-round univariate degrees for a full sumcheck over this spec:
+        entry j is ``degree()`` of the spec after j folds. Static — this is
+        what a strict verifier enforces without being told ``max_degree``."""
+        degs = []
+        spec = self
+        for _ in range(self.num_vars()):
+            degs.append(spec.degree())
+            spec = spec.after_fold()
+        return tuple(degs)
+
     def after_fold(self) -> "PolySpec":
         """The spec after folding one variable of block 0."""
         sizes = list(self.block_sizes)
@@ -278,24 +289,37 @@ def _round_sums(
     return out
 
 
-def _round_step(spec: PolySpec, do_fold: bool, degree: int):
+def _round_step(
+    spec: PolySpec, do_fold: bool, degree: int, use_claim: bool = False
+):
     """Build the fused (fold + sums) program for one round; jit-cached.
 
     When folding, the sums run against the advanced spec (the fold consumed
     one block-0 variable)."""
     sums_spec = spec.after_fold() if do_fold else spec
 
-    def impl(tables, r):
+    def impl(tables, r, claim=None):
         if do_fold:
             tables = _fold_tables(spec, tables, r)
-        return _round_sums(sums_spec, tables, degree), tables
+        return (
+            _round_sums(
+                sums_spec, tables, degree, claim=claim if use_claim else None
+            ),
+            tables,
+        )
 
     return impl
 
 
 @lru_cache(maxsize=None)
-def _round_step_jit(spec: PolySpec, do_fold: bool, degree: int, field: FieldConfig):
-    return jax.jit(_round_step(spec, do_fold, degree))
+def _round_step_jit(
+    spec: PolySpec,
+    do_fold: bool,
+    degree: int,
+    field: FieldConfig,
+    use_claim: bool = False,
+):
+    return jax.jit(_round_step(spec, do_fold, degree, use_claim))
 
 
 def round_step(
@@ -303,12 +327,15 @@ def round_step(
     tables: Sequence[FArray],
     r_prev: Optional[FArray],
     degree: Optional[int] = None,
+    claim: Optional[FArray] = None,
 ) -> Tuple[FArray, Tuple[FArray, ...]]:
     """Run one fused prover round on device.
 
     Returns (sums[degree+1], new_tables). If ``r_prev`` is given the fold
     happens first and ``new_tables`` reflect it (spec then advances via
-    ``spec.after_fold()`` on the host side).
+    ``spec.after_fold()`` on the host side). ``claim`` (scalar FArray in
+    the sums domain, = g_prev(r_prev)) lets the round skip the t = 1
+    product pass: s(1) = claim - s(0), exact mod p, sums unchanged.
     """
     from ..utils.config import get_config
 
@@ -316,6 +343,8 @@ def round_step(
     default_degree = (spec.after_fold() if r_prev is not None else spec).degree()
     if degree is None:
         degree = default_degree
+    if degree < 1:
+        claim = None
     # The Pallas kernel (16-bit-lane tile reductions, single VMEM pass) is
     # bit-exact vs this XLA path and ~1.3x faster at 2^23 on v5e, so it is
     # the default where supports() holds; THALER_PALLAS=0 / config opts out.
@@ -326,12 +355,17 @@ def round_step(
         if pallas_round.supports(
             spec, field, tables[0].shape[0], min_vars=cfg.pallas_min_vars
         ):
-            return pallas_round.pallas_round_step(spec, tables, r_prev)
-    fn = _round_step_jit(spec, r_prev is not None, degree, field)
+            return pallas_round.pallas_round_step(
+                spec, tables, r_prev, claim=claim
+            )
+    use_claim = claim is not None
+    fn = _round_step_jit(spec, r_prev is not None, degree, field, use_claim)
     if r_prev is None:
         # pass a dummy 0-d scalar so the traced signature stays uniform
         r_prev = FArray.zeros((), field)
-    sums, new_tables = fn(tuple(tables), r_prev)
+    if claim is None:
+        claim = FArray.zeros((), field)  # dummy; unused when use_claim=False
+    sums, new_tables = fn(tuple(tables), r_prev, claim)
     return sums, new_tables
 
 

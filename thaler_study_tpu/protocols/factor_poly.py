@@ -41,6 +41,11 @@ class ProductPoly(SumCheckPolynomial):
     def num_vars(self) -> int:
         return self.spec.num_vars()
 
+    def round_degree(self, j: int) -> Optional[int]:
+        """Static per-round degree bound from the spec (PolySpec.round_degrees)."""
+        degs = self.spec.round_degrees()
+        return degs[j] if 0 <= j < len(degs) else None
+
     # ---- the fused hot path ----
     def round_univariate(
         self, r_prev: Optional[Felt]
@@ -50,18 +55,32 @@ class ProductPoly(SumCheckPolynomial):
         Exactly one device program; only the (degree+1) partial sums cross
         back to the host, where they are Lagrange-interpolated into the
         (sparse) coefficient-form round polynomial the verifier expects.
+
+        Every round after the first knows its claim c = g_prev(r_prev)
+        (g_prev was this poly's previous round polynomial), so the device
+        program skips the t = 1 product pass and fills s(1) = c - s(0) —
+        exact mod p, round polynomials unchanged (the classic shortcut the
+        fused FS kernels already use; ops/round_kernel._round_sums).
         """
         spec, tables = self.spec, self.tables
+        claim_known = False
         if r_prev is not None:
             r = FArray.scalar(r_prev)
-            sums, tables = round_step(spec, tables, r)
+            claim = None
+            prev_uni = getattr(self, "_last_uni", None)
+            if prev_uni is not None:
+                claim = FArray.scalar(prev_uni.evaluate(r_prev))
+                claim_known = spec.after_fold().degree() >= 1
+            sums, tables = round_step(spec, tables, r, claim=claim)
             spec = spec.after_fold()
         else:
             sums, tables = round_step(spec, tables, None)
         new_poly = ProductPoly(spec, tables)
-        count_round(spec, fold=r_prev is not None)
+        count_round(spec, fold=r_prev is not None, claim_known=claim_known)
         values = sums.to_felts()
-        return interpolate_at_small_points(values, self.field), new_poly
+        uni = interpolate_at_small_points(values, self.field)
+        new_poly._last_uni = uni
+        return uni, new_poly
 
     def sum_evaluations(self) -> Felt:
         """C_1 = sum of g over the hypercube (one reduction program)."""

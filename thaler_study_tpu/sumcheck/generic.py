@@ -95,6 +95,16 @@ class SparseMultiPoly(SumCheckPolynomial):
             for point in BooleanHypercube(self._num_vars, self._field)
         ]
 
+    def round_degree(self, j: int) -> Optional[int]:
+        """deg(g_j) <= deg_{x_j}(g): the max power of variable j over the
+        terms (fixing x_0..x_{j-1} and summing the tail cannot raise it)."""
+        if not 0 <= j < self._num_vars:
+            return None
+        return max(
+            (pw for _, vps in self.terms for v, pw in vps if v == j),
+            default=0,
+        )
+
     def __eq__(self, other) -> bool:
         return (
             isinstance(other, SparseMultiPoly)

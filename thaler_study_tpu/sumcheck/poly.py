@@ -46,3 +46,15 @@ class SumCheckPolynomial(ABC):
     @abstractmethod
     def field(self) -> FieldConfig:
         """The coefficient field."""
+
+    def round_degree(self, j: int) -> Optional[int]:
+        """Static upper bound on deg(g_j) — the degree of round j's
+        univariate polynomial in x_j, derivable from the polynomial's
+        structure alone (no evaluations needed).
+
+        The reference never bounds round-polynomial degrees (its documented
+        soundness gap, sum-check-protocol/src/lib.rs:284-329); a strict
+        verifier holding the oracle uses this to enforce deg(g_j) <= bound
+        without the caller passing ``max_degree``. ``None`` means "unknown"
+        (no bound is enforced)."""
+        return None

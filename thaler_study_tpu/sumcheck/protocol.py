@@ -138,7 +138,10 @@ class Verifier(Generic[P]):
         self.r: List[Felt] = []
         self.g = g
         # Optional strict mode: the reference never bounds deg(g_j) (its
-        # documented soundness gap); passing max_degree enforces it.
+        # documented soundness gap); passing max_degree enforces it. Under
+        # ``strict`` the bound is also self-derived per round from the
+        # oracle's static structure (SumCheckPolynomial.round_degree), so a
+        # strict verifier with an oracle needs no extra arguments.
         self.max_degree = max_degree
         # ``strict`` additionally closes the reference's missing FINAL-round
         # sum-consistency check (ref :298-310 only tests the oracle
@@ -151,10 +154,23 @@ class Verifier(Generic[P]):
     def set_c_1(self, c_1: Felt):
         self.c_1 = c_1
 
+    def _round_degree_bound(self) -> Optional[int]:
+        """The deg(g_j) bound for the upcoming round: an explicit
+        ``max_degree`` wins; otherwise strict mode asks the oracle's static
+        structure (round_degree) — None when neither is available."""
+        if self.max_degree is not None:
+            return self.max_degree
+        if self.strict and self.g is not None:
+            rd = getattr(self.g, "round_degree", None)
+            if rd is not None:
+                return rd(len(self.r))
+        return None
+
     def round(self, g_j: UniPoly, rng: FeltRng) -> VerifierRoundResult:
-        if self.max_degree is not None and g_j.degree() > self.max_degree:
+        bound = self._round_degree_bound()
+        if bound is not None and g_j.degree() > bound:
             raise ProverClaimMismatch(
-                f"degree bound {self.max_degree}", f"degree {g_j.degree()}"
+                f"degree bound {bound}", f"degree {g_j.degree()}"
             )
         field = g_j.field if not g_j.is_zero() else (
             self.c_1.field if self.c_1 is not None else g_j.field
