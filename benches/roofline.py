@@ -154,6 +154,13 @@ def main():
         "(fields/goldilocks.set_karatsuba) — run in a fresh process",
     )
     ap.add_argument(
+        "--selects",
+        action="store_true",
+        help="use the jnp.where conditional-fixup formulation instead of "
+        "the arithmetic-mask default "
+        "(fields/goldilocks.set_select_fixups) — run in a fresh process",
+    )
+    ap.add_argument(
         "--mulcost",
         action="store_true",
         help="instead of the round roofline, micro-benchmark the VPU "
@@ -171,6 +178,8 @@ def main():
         return mulcost(np)
     if args.karatsuba:
         gl.set_karatsuba(args.karatsuba)
+    if args.selects:
+        gl.set_select_fixups(True)
     from thaler_study_tpu.ops.round_kernel import PolySpec, _round_step_jit
 
     field = GOLDILOCKS
@@ -248,6 +257,25 @@ def main():
         )
     sustained = min(x for x in (sustained_xla, sustained_pallas) if x)
 
+    # claim-shortcut variants: every FS round after the first knows its
+    # claim and skips the t = 1 product pass (s(1) = claim - s(0)) — the
+    # production round configuration. The chain feeds r as the claim (any
+    # data-dependent scalar; op structure is what is being timed).
+    xla_claim_body = _round_step(spec, True, degree, use_claim=True)
+    sustained_xla_claim = time_chain(
+        lambda t, rr: xla_claim_body(t, rr, rr)
+    )
+    sustained_pallas_claim = None
+    if pallas_round.supports(spec, field, 1 << n):
+        sustained_pallas_claim = time_chain(
+            lambda t, rr: pallas_round.pallas_round_step_raw(
+                spec, t, rr, claim=rr
+            )
+        )
+    sustained_claim = min(
+        x for x in (sustained_xla_claim, sustained_pallas_claim) if x
+    )
+
     # per-call sync (dispatch-inclusive; through this tunnel this mostly
     # measures the tunnel, reported for honesty)
     t0 = time.perf_counter()
@@ -273,6 +301,7 @@ def main():
                     if args.karatsuba
                     else "schoolbook"
                 ),
+                "fixups": "selects" if args.selects else "masks",
                 "points": 1 << n,
                 "factors": k,
                 "element_bytes": elem_bytes,
@@ -285,6 +314,16 @@ def main():
                     round(sustained_pallas * 1e3, 4)
                     if sustained_pallas
                     else None
+                ),
+                "sustained_claim_ms": round(sustained_claim * 1e3, 4),
+                "sustained_xla_claim_ms": round(sustained_xla_claim * 1e3, 4),
+                "sustained_pallas_claim_ms": (
+                    round(sustained_pallas_claim * 1e3, 4)
+                    if sustained_pallas_claim
+                    else None
+                ),
+                "hbm_utilization_claim_pct": round(
+                    100 * sol_s / sustained_claim, 1
                 ),
                 "per_call_sync_ms": round(per_call * 1e3, 4),
                 "hbm_utilization_pct": round(100 * sol_s / sustained, 1),

@@ -170,3 +170,49 @@ def test_karatsuba_mul_words_identical():
             int(w[3][i]) << 96
         )
         assert got == a * b
+
+
+def test_goldilocks_fixup_styles_bit_identical(rng):
+    """Both conditional-fixup formulations (jnp.where selects vs
+    arithmetic masks, goldilocks.set_select_fixups) produce bit-identical
+    add/sub/mul results, including the boundary cases that exercise every
+    carry/borrow/geq-p fixup."""
+    import numpy as np
+
+    from thaler_study_tpu.fields import GOLDILOCKS, FArray
+    from thaler_study_tpu.fields import goldilocks as gl
+
+    p = GOLDILOCKS.p
+    edge = [0, 1, 2**32 - 1, 2**32, 2**63, p - 2, p - 1]
+    vals_a = edge + [rng.randrange(p) for _ in range(64)]
+    vals_b = list(reversed(edge)) + [rng.randrange(p) for _ in range(64)]
+    a = FArray.from_ints(np.array(vals_a, dtype=object), GOLDILOCKS)
+    b = FArray.from_ints(np.array(vals_b, dtype=object), GOLDILOCKS)
+
+    def run_all():
+        return [
+            [int(v) for v in (a + b).to_ints()],
+            [int(v) for v in (a - b).to_ints()],
+            [int(v) for v in (a * b).to_ints()],
+        ]
+
+    base = run_all()
+    gl.set_select_fixups(True)
+    try:
+        # trace fresh programs under the select style
+        import jax
+
+        jax.clear_caches()
+        alt = run_all()
+    finally:
+        gl.set_select_fixups(False)
+        import jax
+
+        jax.clear_caches()
+    assert alt == base
+    expect = [
+        [(x + y) % p for x, y in zip(vals_a, vals_b)],
+        [(x - y) % p for x, y in zip(vals_a, vals_b)],
+        [(x * y) % p for x, y in zip(vals_a, vals_b)],
+    ]
+    assert base == expect

@@ -276,3 +276,78 @@ def test_fused_sharded_full_shard(rng):
     sharded = fs_prove_device_sharded(spec, tables, make_mesh(), n_shard=3)
     assert sharded is not None
     assert [m.hex() for m in sharded] == [m.hex() for m in host.g]
+
+
+def test_sharded_fused_collective_contract(rng):
+    """HLO-level proof of the sharded fused kernel's communication claim
+    (ops/fs_kernel.py mesh section; VERDICT r3 #4): in the compiled
+    8-device program,
+
+    - each sharded round's ONLY collective is one all-reduce whose payload
+      is the round sums' scalar lane partials (a handful of u32 scalars);
+    - the ONLY all-gathers are the tail transition's replication of the
+      residual [2^n_shard] tables (#tables x #limbs of them);
+    - there are NO all-to-alls and NO collective-permutes (the failure
+      mode this pins down: a pairwise modular sum tree over the sharded
+      axis lowers to one scalar permute chain per level — 258 collectives
+      for this exact program before sum_mod(force_lanes=True));
+    - no collective moves table-sized data (a silent GSPMD reshard of the
+      [2^n_shard, 2^local] factor tables would be invisible to every
+      byte-identity test).
+    """
+    import re
+
+    from thaler_study_tpu.ops.fs_kernel import _fs_prove_sharded_jit
+    from thaler_study_tpu.fields import FArray
+    from thaler_study_tpu.parallel import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    field = GOLDILOCKS
+    n, k, n_shard = 8, 2, 3
+    tables = _tables(field, n, k, rng)
+    spec = PolySpec(
+        block_sizes=(n,),
+        table_blocks=tuple((0,) for _ in range(k)),
+        terms=(tuple(range(k)),),
+    )
+    mesh = make_mesh()
+    shard_spec = NamedSharding(mesh, P(tuple(mesh.axis_names), None))
+    sharded = []
+    for t in tables:
+        limbs = tuple(
+            jax.device_put(
+                l.reshape(1 << (n - n_shard), 1 << n_shard).T, shard_spec
+            )
+            for l in t.limbs
+        )
+        sharded.append(FArray(limbs, field))
+    fn = _fs_prove_sharded_jit(spec, n_shard, field, mesh)
+    hlo = fn.lower(tuple(sharded)).compile().as_text()
+
+    assert " all-to-all(" not in hlo
+    assert " collective-permute(" not in hlo
+    assert " reduce-scatter(" not in hlo
+
+    # one all-reduce per sharded round (n - n_shard of them), each moving
+    # only u32[] / u32[1] scalars (possibly tupled by XLA)
+    ar_lines = [l for l in hlo.splitlines() if " all-reduce(" in l]
+    assert len(ar_lines) == n - n_shard, ar_lines
+    for line in ar_lines:
+        result_ty = line.split(" all-reduce(")[0].split(" = ")[1]
+        for dims in re.findall(r"u32\[([\d,]*)\]", result_ty):
+            elems = 1
+            for d in filter(None, dims.split(",")):
+                elems *= int(d)
+            assert elems <= 4, (elems, line)
+
+    # all-gathers: exactly the tail transition's #tables x #limbs
+    # replications of the residual [2^n_shard] columns
+    ag_lines = [l for l in hlo.splitlines() if " all-gather(" in l]
+    assert len(ag_lines) == k * len(tables[0].limbs), ag_lines
+    for line in ag_lines:
+        result_ty = line.split(" all-gather(")[0].split(" = ")[1]
+        dims = re.search(r"u32\[([\d,]*)\]", result_ty).group(1)
+        elems = 1
+        for d in filter(None, dims.split(",")):
+            elems *= int(d)
+        assert elems <= 1 << n_shard, (elems, line)

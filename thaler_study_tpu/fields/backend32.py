@@ -184,7 +184,7 @@ def dot_mod(p: int, pinv_neg: int, a, b):
     return sum_mod(p, acc, 0)
 
 
-def sum_mod(p: int, a, axis: int):
+def sum_mod(p: int, a, axis: int, force_lanes: bool = False):
     """Exact modular sum along ``axis``.
 
     Large axes: split residues (< p < 2^31) into two 16-bit lanes and
@@ -192,12 +192,17 @@ def sum_mod(p: int, a, axis: int):
     < 2^32), then recombine with mont_mul by constants — one fused XLA
     reduction per lane instead of log2(n) sliced passes. Small axes keep
     the pairwise-tree (cheaper at tiny sizes). Same exact value mod p.
+
+    ``force_lanes``: route even tiny axes through the lane path — over a
+    mesh-sharded axis the native jnp.sum partitions into ONE all-reduce
+    where the pairwise tree becomes per-level scalar collective-permute
+    chains (see goldilocks.sum_mod).
     """
     pinv_neg = _pinv_neg(p)
     r1 = (1 << 32) % p  # mont_mul(x, R) = x mod p
     c16 = ((1 << 16) << 32) % p  # mont_mul(x, c16) = x * 2^16 mod p
     n = a.shape[axis]
-    if n > 64:
+    if n > 64 or (force_lanes and n > 1):
         a = jnp.moveaxis(a, axis, -1)
         mask = np.uint32(0xFFFF)
         while a.shape[-1] > 1:

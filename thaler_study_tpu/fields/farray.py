@@ -198,12 +198,19 @@ class FArray:
     def double(self) -> "FArray":
         return self + self
 
-    def sum(self, axis: int = 0) -> "FArray":
-        """Exact modular reduction along one axis (pairwise tree)."""
+    def sum(self, axis: int = 0, force_lanes: bool = False) -> "FArray":
+        """Exact modular reduction along one axis. ``force_lanes`` keeps
+        even tiny axes on the native-jnp.sum lane path — required when the
+        axis is mesh-sharded so GSPMD emits one all-reduce, not a scalar
+        collective-permute chain per tree level (backends' sum_mod)."""
         f = self.field
         if f.backend == "mont32":
-            return FArray((b32.sum_mod(f.p, self.limbs[0], axis),), f)
-        return FArray(gl.sum_mod(self.limbs[0], self.limbs[1], axis), f)
+            return FArray(
+                (b32.sum_mod(f.p, self.limbs[0], axis, force_lanes),), f
+            )
+        return FArray(
+            gl.sum_mod(self.limbs[0], self.limbs[1], axis, force_lanes), f
+        )
 
     def sum_all(self) -> "FArray":
         out = self

@@ -58,11 +58,44 @@ def _geq_p(lo, hi):
     return (hi == P_HI) & (lo >= P_LO)
 
 
+# Conditional-fixup style: every fixup below applies "+/- EPS when a
+# carry/borrow bit fired" / "- p when >= p". Two formulations, bit-exact
+# identical values either way (benchmarks flip the switch and clear jit
+# caches, like set_karatsuba):
+#
+# - select (style 1): compute the fixed-up pair unconditionally and
+#   jnp.where on the condition — the original formulation.
+# - arithmetic mask (style 0): for a condition bit c in {0, 1},
+#   (0 - c) = 0 or 0xFFFFFFFF = c * EPS, so adding/subtracting
+#   (0 - c, 0) applies the EPS fixup exactly when c = 1, and
+#   p * c = (c, 0 - c) subtracts p exactly when c = 1 — two selects
+#   become one negation.
+#
+# Measured (bench_logs/r4, 2^23 fused round): the mulcost microbench
+# prices a standalone select at 1.5x an add, but in the fused kernels XLA
+# lowers the select formulation 2.3x FASTER (sustained_xla 1.68 ms vs
+# 3.91 ms; Pallas is indifferent, 1.33 vs 1.31) — selects are the
+# default; masks stay behind the switch for hardware studies.
+
+_SELECT_FIXUPS = [True]
+
+
+def set_select_fixups(on) -> None:
+    """Select the fixup formulation: True = jnp.where selects, False =
+    arithmetic masks. Bit-identical outputs; benchmarks only. Callers
+    must clear jit caches when flipping mid-process."""
+    _SELECT_FIXUPS[0] = bool(on)
+
+
 def _reduce_once(lo, hi):
     """Subtract p once if (lo,hi) >= p. Input < 2^64."""
-    need = _geq_p(lo, hi)
-    slo, shi, _ = _sub64(lo, hi, P_LO, P_HI)
-    return jnp.where(need, slo, lo), jnp.where(need, shi, hi)
+    if _SELECT_FIXUPS[0]:
+        need = _geq_p(lo, hi)
+        slo, shi, _ = _sub64(lo, hi, P_LO, P_HI)
+        return jnp.where(need, slo, lo), jnp.where(need, shi, hi)
+    need = _geq_p(lo, hi).astype(U32)
+    slo, shi, _ = _sub64(lo, hi, need, jnp.zeros_like(hi) - need)
+    return slo, shi
 
 
 def add(alo, ahi, blo, bhi):
@@ -70,20 +103,30 @@ def add(alo, ahi, blo, bhi):
     lo, hi, carry = _add64(alo, ahi, blo, bhi)
     # On 2^64 wraparound the true value is (lo,hi) + EPS (mod p); the fixup
     # cannot re-carry because a+b < 2p => wrapped < 2^64 - 2^33 + 2.
-    lo2, hi2, _ = _add64(lo, hi, EPS, jnp.zeros_like(hi))
-    lo = jnp.where(carry == 1, lo2, lo)
-    hi = jnp.where(carry == 1, hi2, hi)
+    if _SELECT_FIXUPS[0]:
+        lo2, hi2, _ = _add64(lo, hi, EPS, jnp.zeros_like(hi))
+        lo = jnp.where(carry == 1, lo2, lo)
+        hi = jnp.where(carry == 1, hi2, hi)
+    else:
+        lo, hi, _ = _add64(
+            lo, hi, jnp.zeros_like(lo) - carry, jnp.zeros_like(hi)
+        )
     return _reduce_once(lo, hi)
 
 
 def sub(alo, ahi, blo, bhi):
     lo, hi, borrow = _sub64(alo, ahi, blo, bhi)
     # Borrow: true value = wrapped - 2^64 === wrapped - EPS (mod p).
-    lo2, hi2, _ = _sub64(lo, hi, EPS, jnp.zeros_like(hi))
-    return (
-        jnp.where(borrow == 1, lo2, lo),
-        jnp.where(borrow == 1, hi2, hi),
+    if _SELECT_FIXUPS[0]:
+        lo2, hi2, _ = _sub64(lo, hi, EPS, jnp.zeros_like(hi))
+        return (
+            jnp.where(borrow == 1, lo2, lo),
+            jnp.where(borrow == 1, hi2, hi),
+        )
+    lo, hi, _ = _sub64(
+        lo, hi, jnp.zeros_like(lo) - borrow, jnp.zeros_like(hi)
     )
+    return lo, hi
 
 
 def neg(alo, ahi):
@@ -200,17 +243,23 @@ def _reduce128(w0, w1, w2, w3):
     zero = jnp.zeros_like(w0)
     # t0 = (w1,w0) - w3, with borrow fixup (-2^64 === -EPS)
     t0lo, t0hi, borrow = _sub64(w0, w1, w3, zero)
-    f_lo, f_hi, _ = _sub64(t0lo, t0hi, EPS, zero)
-    t0lo = jnp.where(borrow == 1, f_lo, t0lo)
-    t0hi = jnp.where(borrow == 1, f_hi, t0hi)
+    if _SELECT_FIXUPS[0]:
+        f_lo, f_hi, _ = _sub64(t0lo, t0hi, EPS, zero)
+        t0lo = jnp.where(borrow == 1, f_lo, t0lo)
+        t0hi = jnp.where(borrow == 1, f_hi, t0hi)
+    else:
+        t0lo, t0hi, _ = _sub64(t0lo, t0hi, zero - borrow, zero)
     # t1 = w2 * EPS = (w2 << 32) - w2 as a 64-bit value
     t1lo = zero - w2
     t1hi = w2 - (w2 != 0).astype(U32)
     # res = t0 + t1, carry fixup (+2^64 === +EPS, cannot re-carry)
     rlo, rhi, carry = _add64(t0lo, t0hi, t1lo, t1hi)
-    g_lo, g_hi, _ = _add64(rlo, rhi, EPS, zero)
-    rlo = jnp.where(carry == 1, g_lo, rlo)
-    rhi = jnp.where(carry == 1, g_hi, rhi)
+    if _SELECT_FIXUPS[0]:
+        g_lo, g_hi, _ = _add64(rlo, rhi, EPS, zero)
+        rlo = jnp.where(carry == 1, g_lo, rlo)
+        rhi = jnp.where(carry == 1, g_hi, rhi)
+    else:
+        rlo, rhi, _ = _add64(rlo, rhi, zero - carry, zero)
     return _reduce_once(rlo, rhi)
 
 
@@ -295,16 +344,22 @@ def dot_mod(alo, ahi, blo, bhi):
     return sum_mod(acc[0], acc[1], 0)
 
 
-def sum_mod(lo, hi, axis: int):
+def sum_mod(lo, hi, axis: int, force_lanes: bool = False):
     """Exact modular sum along ``axis``.
 
     Large axes use the 16-bit-lane native-reduction path (one fused
     jnp.sum per lane per 2^16-chunk) — the pairwise-tree fallback costs
     ~log2(n) sliced elementwise passes, which dominated the fused round
     kernel's HBM traffic (see benches/roofline.py). Both orders produce
-    the same exact value mod p."""
+    the same exact value mod p.
+
+    ``force_lanes`` routes even tiny axes through the lane path: a
+    pairwise tree over a MESH-SHARDED axis makes GSPMD emit one scalar
+    collective-permute chain per tree level, while the lane path's native
+    ``jnp.sum`` partitions into per-shard partial sums + ONE all-reduce
+    (see parallel/sharded._mb_term_total)."""
     n = lo.shape[axis]
-    if n > 64:
+    if n > 64 or (force_lanes and n > 1):
         lo = jnp.moveaxis(lo, axis, -1)
         hi = jnp.moveaxis(hi, axis, -1)
         while lo.shape[-1] > 1:

@@ -381,14 +381,23 @@ def fs_prove_device_batch(
 # the ShardedBlockPoly layout — [2^n_shard, 2^local] with axis 0 (the
 # TRAILING variables of the LAST block) sharded over the mesh — and GSPMD
 # partitions the ONE unrolled program. Every local-variable fold is
-# communication-free; each round's only collective is the psum of the
-# (degree+1) round sums; the SHA-256 challenge chain is scalar work XLA
-# replicates on every device (so every shard derives identical challenges
-# with no broadcast). When the local variables are exhausted the residual
-# [2^n_shard, 1] columns reshape to 1-D and the last n_shard rounds run on
-# the (trivially small) gathered tables — still inside the same program.
-# Transcripts are byte-identical to the host and unsharded fused paths
-# (modular adds are exact, so reduction order cannot change any value).
+# communication-free; each sharded round's ONLY collective is one
+# all-reduce of the round sums' scalar 16-bit-lane partials (the modular
+# cross-shard sum is formulated as a native jnp.sum over the sharded axis
+# — sum_mod(force_lanes=True) — precisely so GSPMD lowers it to a single
+# psum; a pairwise modular tree would lower to one scalar
+# collective-permute chain per level). The SHA-256 challenge chain is
+# scalar work XLA replicates on every device (so every shard derives
+# identical challenges with no broadcast). When the local variables are
+# exhausted, the residual [2^n_shard, 1] columns reshape to 1-D and are
+# explicitly replicated — #tables x #limbs all-gathers of 2^n_shard
+# elements, the program's only gathers — and the last n_shard rounds run
+# replicated, still inside the same program. This contract is enforced at
+# the lowered-HLO level by tests/test_multihost.py
+# ::test_sharded_fused_collective_contract (counts and payload sizes of
+# every collective in the compiled 8-device program). Transcripts are
+# byte-identical to the host and unsharded fused paths (modular adds are
+# exact, so reduction order cannot change any value).
 
 
 def _shard_layout(spec: PolySpec, n_shard: int):
@@ -406,7 +415,7 @@ def _shard_layout(spec: PolySpec, n_shard: int):
     return spec_local, has_shard
 
 
-def _fs_prove_sharded_impl(spec: PolySpec, n_shard: int):
+def _fs_prove_sharded_impl(spec: PolySpec, n_shard: int, mesh=None):
     from ..parallel.sharded import _mb_fold, _mb_sums
 
     spec_local, has_shard = _shard_layout(spec, n_shard)
@@ -447,6 +456,28 @@ def _fs_prove_sharded_impl(spec: PolySpec, n_shard: int):
                     terms=spec.terms,
                 )
                 tables = tuple(t.reshape((-1,)) for t in tables)
+                if mesh is not None:
+                    # the ONE documented all-gather: replicate the
+                    # residual [2^n_shard] tables so the tail rounds run
+                    # as pure replicated scalar work (otherwise GSPMD
+                    # keeps them sharded and every tail fold/sum emits
+                    # scalar permute chains)
+                    from jax.sharding import (
+                        NamedSharding,
+                        PartitionSpec as _P,
+                    )
+
+                    rep = NamedSharding(mesh, _P())
+                    tables = tuple(
+                        FArray(
+                            tuple(
+                                jax.lax.with_sharding_constraint(l, rep)
+                                for l in t.limbs
+                            ),
+                            field,
+                        )
+                        for t in tables
+                    )
             degree = degrees[j]
             if rep_spec is None:
                 sums = _mb_sums(
@@ -470,8 +501,10 @@ def _fs_prove_sharded_impl(spec: PolySpec, n_shard: int):
 
 
 @lru_cache(maxsize=None)
-def _fs_prove_sharded_jit(spec: PolySpec, n_shard: int, field: FieldConfig):
-    return jax.jit(_fs_prove_sharded_impl(spec, n_shard))
+def _fs_prove_sharded_jit(
+    spec: PolySpec, n_shard: int, field: FieldConfig, mesh=None
+):
+    return jax.jit(_fs_prove_sharded_impl(spec, n_shard, mesh))
 
 
 def fs_prove_device_sharded(
@@ -531,7 +564,7 @@ def fs_prove_device_sharded(
                 for l in t.limbs
             )
         sharded.append(FArray(limbs, field))
-    fn = _fs_prove_sharded_jit(spec, n_shard, field)
+    fn = _fs_prove_sharded_jit(spec, n_shard, field, mesh)
     c1_arr, coeff_lo, coeff_hi, any_zero = fn(tuple(sharded))
     if bool(any_zero):
         return None

@@ -477,16 +477,19 @@ def _mb_term_total(
                         m = modmatmul_batched_impl(f3b, f2b)
                     prod = f1.reshape(1, dx, dy) * m  # [S, X, Y]
                     prod = prod.sum(axis=2).sum(axis=1)
-                    return prod.sum(axis=0)
+                    return prod.sum(axis=0, force_lanes=True)
 
     prod = views[term[0]]
     for k in term[1:]:
         prod = prod * views[k]
-    # reduce local axes first; the sharded axis 0 last (its pairwise
-    # tree becomes the GSPMD all-reduce of the round sums)
+    # reduce local axes first; the sharded axis 0 last, on the lane path
+    # so GSPMD lowers it to per-shard partial sums + ONE all-reduce of
+    # the round sum (a pairwise tree would become a scalar
+    # collective-permute chain per level — tests/test_multihost.py
+    # asserts the lowered collectives)
     while prod.ndim > 1:
         prod = prod.sum(axis=prod.ndim - 1)
-    return prod.sum(axis=0)
+    return prod.sum(axis=0, force_lanes=True)
 
 
 def _mb_sums(
