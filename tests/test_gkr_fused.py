@@ -191,3 +191,23 @@ def test_fused_fallback_small_layer():
         Prover(circuit, inputs, GOLDILOCKS), GOLDILOCKS
     )
     assert list(t.g) == list(t_host.g)
+
+
+@pytest.mark.slow  # fresh scan-variant layer programs compile for minutes on CPU
+def test_fused_scan_mode_byte_identical():
+    """The fused layer programs under gkr_scatter_mode='scan' (sort +
+    prefix-scan phase builds, no scatter op) emit the byte-identical
+    transcript."""
+    from thaler_study_tpu.utils.config import FrameworkConfig, use_config
+
+    rng = random.Random(42)
+    circuit = _random_circuit(2, 3, 3, rng)
+    inputs = _inputs(8, GOLDILOCKS, rng)
+    t_ref = generate_gkr_transcript_fused(
+        Prover(circuit, inputs, GOLDILOCKS), GOLDILOCKS
+    )
+    with use_config(FrameworkConfig(gkr_scatter_mode="scan")):
+        t_scan = generate_gkr_transcript_fused(
+            Prover(circuit, inputs, GOLDILOCKS), GOLDILOCKS
+        )
+    assert [m.hex() for m in t_scan.g] == [m.hex() for m in t_ref.g]

@@ -230,3 +230,71 @@ def test_gather_plan_matches_scatter():
     got = gather_add_mod_many(plan, tuple(vals))
     for w, a in zip(want, got):
         assert [int(x) for x in w.to_ints()] == [int(x) for x in a.to_ints()]
+
+
+def test_scan_plan_matches_scatter():
+    """The sort + prefix-scan scatter-add (scan_add_mod_many — no scatter
+    op at all) produces the exact scatter_add_mod_many grids, including
+    empty cells, a hot cell, and multi-table packing, for both backends."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from thaler_study_tpu.fields import F1572869, GOLDILOCKS, FArray
+    from thaler_study_tpu.gkr.device_tables import (
+        scan_add_mod_many,
+        scan_plan,
+        scatter_add_mod_many,
+    )
+
+    rng = np.random.default_rng(7)
+    g, size = 300, 64
+    idx = np.concatenate(
+        [rng.integers(0, size, g - 40), np.full(40, 5)]  # hot cell
+    ).astype(np.int32)
+
+    vals_gl = [
+        FArray(
+            (
+                jnp.asarray(rng.integers(0, 1 << 32, g).astype(np.uint32)),
+                jnp.asarray(rng.integers(0, 1 << 31, g).astype(np.uint32)),
+            ),
+            GOLDILOCKS,
+        )
+        for _ in range(2)
+    ]
+    vals_m32 = [
+        FArray.from_ints(
+            rng.integers(0, F1572869.p, g).astype(np.uint64), F1572869
+        )
+    ]
+    for vals in (vals_gl, vals_m32):
+        want = scatter_add_mod_many(idx, tuple(vals), size)
+        order, starts = scan_plan(idx, size)
+        got = scan_add_mod_many(
+            jnp.asarray(order), jnp.asarray(starts), tuple(vals)
+        )
+        for w, a in zip(want, got):
+            assert [int(x) for x in w.to_ints()] == [
+                int(x) for x in a.to_ints()
+            ]
+
+
+def test_scan_mode_transcript_identical():
+    """The full GKR protocol under gkr_scatter_mode='scan' (sort +
+    prefix-scan phase builds) logs messages identical to the segment_sum
+    default — on the book circuit and a random goldilocks circuit."""
+    from thaler_study_tpu.utils.config import FrameworkConfig, use_config
+
+    circuit = circuit_from_book()
+    with use_config(FrameworkConfig(gkr_scatter_mode="scan")):
+        log_scan = _drive(circuit, [3, 2, 3, 1], F389, 7, use_linear=True)
+    log_seg = _drive(circuit, [3, 2, 3, 1], F389, 7, use_linear=True)
+    assert log_scan == log_seg
+
+    rng = random.Random(11)
+    circuit = _random_circuit(2, 4, 3, rng)
+    inputs = [rng.randrange(1 << 30) for _ in range(8)]
+    with use_config(FrameworkConfig(gkr_scatter_mode="scan")):
+        log_scan = _drive(circuit, inputs, GOLDILOCKS, 3, use_linear=True)
+    log_seg = _drive(circuit, inputs, GOLDILOCKS, 3, use_linear=True)
+    assert log_scan == log_seg

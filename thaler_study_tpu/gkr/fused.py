@@ -123,18 +123,20 @@ def _layer_phase1_jit(
     g: int,
     field: FieldConfig,
     lane_bits: int = 8,
-    use_plan: bool = False,
+    mode: str = "segment",
 ):
     unroll = default_unroll()
 
     def impl(
         state, buf, nbytes, layer_idx, r_i, w_lsb, b_idx, c_idx, is_mul,
-        b_plan=None,
+        *extra,
     ):
         chain = DevChain(state, buf, nbytes, unroll)
         a1_lsb, a2_lsb, eq_r = phase1_tables(
             r_i, w_lsb, b_idx, c_idx, is_mul, k_cur, k,
-            lane_bits=lane_bits, b_plan=b_plan if use_plan else None,
+            lane_bits=lane_bits,
+            b_plan=extra[0] if mode == "plan" else None,
+            b_scan=tuple(extra) if mode == "scan" else None,
         )
         tables = (lsb_to_msb(w_lsb, k), lsb_to_msb(a1_lsb, k), lsb_to_msb(a2_lsb, k))
         spec = _phase1_spec(k)
@@ -215,13 +217,13 @@ def _layer_phase2_jit(
     g: int,
     field: FieldConfig,
     lane_bits: int = 8,
-    use_plan: bool = False,
+    mode: str = "segment",
 ):
     unroll = default_unroll()
 
     def impl(
         state, buf, nbytes, u, a_lo, a_hi, w_lsb, eq_r, b_idx, c_idx,
-        is_mul, c_plan=None,
+        is_mul, *extra,
     ):
         # phase 1's full coefficient rows come in; the claim seed needs only
         # the last row — slice INSIDE the jit (an eager host-side slice
@@ -230,7 +232,9 @@ def _layer_phase2_jit(
         chain = DevChain(state, buf, nbytes, unroll)
         b1_lsb, b2_lsb, w_u = phase2_tables(
             u, w_lsb, eq_r, b_idx, c_idx, is_mul, k,
-            lane_bits=lane_bits, c_plan=c_plan if use_plan else None,
+            lane_bits=lane_bits,
+            c_plan=extra[0] if mode == "plan" else None,
+            c_scan=tuple(extra) if mode == "scan" else None,
         )
         tables = (
             lsb_to_msb(b1_lsb, k),
@@ -463,52 +467,79 @@ def _prove_fused(
     buf = jnp.asarray(buf_np)
     nbytes = jnp.uint32(len(begin_raw))
 
-    # wiring tables live on device once per prover, not once per proof
-    # (re-sending 3 x width indices per layer per run dominates warm-run
-    # enqueue time through a remote tunnel); one cached copy per placement
-    # (unsharded, or per mesh)
-    caches = getattr(prover, "_fused_dev_cache", None)
-    if caches is None:
-        caches = prover._fused_dev_cache = {}
-    key = mesh  # None for the single-device path; Mesh is hashable
-    lane_bits = getattr(prover, "_fused_lane_bits", None)
+    # Wiring tables (and scan/gather plans) are a property of the CIRCUIT,
+    # not the prover: cache them on the circuit object so repeated proofs
+    # over the same circuit — even with fresh provers — never re-upload
+    # them. Re-sending 3 x width indices (plus 2 x width plan rows in scan
+    # mode) per layer per run dominates warm-run enqueue time through a
+    # remote tunnel. One cached copy per (placement, scatter mode).
+    from ..utils.config import get_config
+
+    mode = get_config().gkr_scatter_mode
+    wiring_caches = getattr(circuit, "_fused_wiring_cache", None)
+    if wiring_caches is None:
+        wiring_caches = circuit._fused_wiring_cache = {}
+    lane_bits = getattr(circuit, "_fused_lane_bits", None)
     if lane_bits is None:
         from .device_tables import wiring_lane_bits
 
-        lane_bits = prover._fused_lane_bits = [
+        lane_bits = circuit._fused_lane_bits = [
             wiring_lane_bits(circuit._wiring[i][0], circuit._wiring[i][1])
             for i in range(num_layers)
         ]
-    if key not in caches:
-        from ..utils.config import get_config
-        from .device_tables import wiring_plan_or_none
+    wkey = (mesh, mode)  # None-mesh for single-device; Mesh is hashable
+    if wkey not in wiring_caches:
+        from .device_tables import scan_plan, wiring_plan_or_none
 
-        use_plans = get_config().gkr_gather_plan
         wiring_dev = []
         for i in range(num_layers):
             b_idx, c_idx, is_mul = circuit._wiring[i]
             size = 1 << circuit.num_vars_at(i + 1)
-            b_plan = wiring_plan_or_none(b_idx, size) if use_plans else None
-            c_plan = wiring_plan_or_none(c_idx, size) if use_plans else None
+            b_extra = c_extra = ()
+            if mode == "plan":
+                b_plan = wiring_plan_or_none(b_idx, size)
+                c_plan = wiring_plan_or_none(c_idx, size)
+                b_extra = () if b_plan is None else (jnp.asarray(b_plan),)
+                c_extra = () if c_plan is None else (jnp.asarray(c_plan),)
+            elif mode == "scan":
+                b_extra = tuple(
+                    jnp.asarray(x) for x in scan_plan(b_idx, size)
+                )
+                c_extra = tuple(
+                    jnp.asarray(x) for x in scan_plan(c_idx, size)
+                )
             wiring_dev.append(
                 (
                     jnp.asarray(b_idx),
                     jnp.asarray(c_idx),
                     jnp.asarray(is_mul),
-                    None if b_plan is None else jnp.asarray(b_plan),
-                    None if c_plan is None else jnp.asarray(c_plan),
+                    b_extra,
+                    c_extra,
                 )
             )
-        layers_put = layers_dev
         if mesh is not None:
-            put, put_f = _mesh_put(mesh)
+            put, _ = _mesh_put(mesh)
             wiring_dev = [
-                tuple(None if w is None else put(w) for w in row)
+                tuple(
+                    tuple(put(x) for x in w) if isinstance(w, tuple) else put(w)
+                    for w in row
+                )
                 for row in wiring_dev
             ]
+        wiring_caches[wkey] = wiring_dev
+    wiring_dev = wiring_caches[wkey]
+
+    # layer VALUES are per-prover (they depend on the inputs)
+    layer_caches = getattr(prover, "_fused_dev_cache", None)
+    if layer_caches is None:
+        layer_caches = prover._fused_dev_cache = {}
+    if mesh not in layer_caches:
+        layers_put = layers_dev
+        if mesh is not None:
+            _, put_f = _mesh_put(mesh)
             layers_put = [put_f(t) for t in layers_dev]
-        caches[key] = (wiring_dev, layers_put)
-    wiring_dev, layers_dev = caches[key]
+        layer_caches[mesh] = layers_put
+    layers_dev = layer_caches[mesh]
 
     r_i = FArray.from_ints(np.array([f.v for f in r0], dtype=object), field)
     outs = []
@@ -516,16 +547,20 @@ def _prove_fused(
     for i in range(num_layers):
         k_cur = circuit.num_vars_at(i)
         k = circuit.num_vars_at(i + 1)
-        b_idx, c_idx, is_mul, b_plan, c_plan = wiring_dev[i]
+        b_idx, c_idx, is_mul, b_extra, c_extra = wiring_dev[i]
+        # per-layer effective mode: "plan" degrades to "segment" when the
+        # layer's fan-in exceeded MAX_PLAN_FANIN (empty extra)
+        b_mode = mode if b_extra else "segment"
+        c_mode = mode if c_extra else "segment"
         g = len(b_idx)
         w_lsb = layers_dev[i + 1]
         p1_args = (
             state, buf, nbytes, jnp.uint32(i), r_i, w_lsb, b_idx, c_idx,
             is_mul,
-        ) + ((b_plan,) if b_plan is not None else ())
+        ) + tuple(b_extra)
         a = _layer_phase1_jit(
             k_cur, k, g, field,
-            lane_bits=lane_bits[i], use_plan=b_plan is not None,
+            lane_bits=lane_bits[i], mode=b_mode,
         )(*p1_args)
         state, buf, nbytes, c1, a_lo, a_hi, u, eq_r, az_a = a
         if timings is not None:
@@ -536,10 +571,10 @@ def _prove_fused(
         p2_args = (
             state, buf, nbytes, u, a_lo, a_hi, w_lsb, eq_r, b_idx,
             c_idx, is_mul,
-        ) + ((c_plan,) if c_plan is not None else ())
+        ) + tuple(c_extra)
         b = _layer_phase2_jit(
             k, g, field,
-            lane_bits=lane_bits[i], use_plan=c_plan is not None,
+            lane_bits=lane_bits[i], mode=c_mode,
         )(*p2_args)
         state, buf, nbytes = b[0], b[1], b[2]
         r_i = b[9]

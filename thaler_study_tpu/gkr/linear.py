@@ -106,13 +106,24 @@ class LibraW:
 
             self._lane_bits = wiring_lane_bits(b_idx, c_idx)
             self._b_plan = self._c_plan = None
-            if get_config().gkr_gather_plan:
+            self._b_scan = self._c_scan = None
+            mode = get_config().gkr_scatter_mode
+            if mode == "plan":
                 b_plan = wiring_plan_or_none(b_idx, 1 << k)
                 c_plan = wiring_plan_or_none(c_idx, 1 << k)
                 if b_plan is not None:
                     self._b_plan = jnp.asarray(b_plan)
                 if c_plan is not None:
                     self._c_plan = jnp.asarray(c_plan)
+            elif mode == "scan":
+                from .device_tables import scan_plan
+
+                self._b_scan = tuple(
+                    jnp.asarray(x) for x in scan_plan(b_idx, 1 << k)
+                )
+                self._c_scan = tuple(
+                    jnp.asarray(x) for x in scan_plan(c_idx, 1 << k)
+                )
             if isinstance(w_next, FArray):
                 w_lsb = w_next
             else:
@@ -123,17 +134,23 @@ class LibraW:
             r_arr = FArray.from_ints(
                 np.array([f.v for f in r_i], dtype=object), field
             )
+            if self._b_scan is not None:
+                b_extra, b_mode = self._b_scan, "scan"
+            elif self._b_plan is not None:
+                b_extra, b_mode = (self._b_plan,), "plan"
+            else:
+                b_extra, b_mode = (), "segment"
             p1_args = (
                 r_arr,
                 w_lsb,
                 jnp.asarray(b_idx),
                 jnp.asarray(c_idx),
                 jnp.asarray(is_mul),
-            ) + (() if self._b_plan is None else (self._b_plan,))
+            ) + tuple(b_extra)
             a1_lsb, a2_lsb, eq_r_dev = _phase1_jit(
                 k_cur, k, field,
                 lane_bits=self._lane_bits,
-                use_plan=self._b_plan is not None,
+                mode=b_mode,
             )(*p1_args)
             self._eq_r_dev = eq_r_dev
             tables = (
@@ -197,6 +214,12 @@ class LibraW:
             u_arr = FArray.from_ints(
                 np.array([f.v for f in self.u], dtype=object), self.field
             )
+            if self._c_scan is not None:
+                c_extra, c_mode = self._c_scan, "scan"
+            elif self._c_plan is not None:
+                c_extra, c_mode = (self._c_plan,), "plan"
+            else:
+                c_extra, c_mode = (), "segment"
             p2_args = (
                 u_arr,
                 self._w_lsb,
@@ -204,11 +227,11 @@ class LibraW:
                 jnp.asarray(b_idx),
                 jnp.asarray(c_idx),
                 jnp.asarray(is_mul),
-            ) + (() if self._c_plan is None else (self._c_plan,))
+            ) + tuple(c_extra)
             b1_lsb, b2_lsb, w_u_arr = _phase2_jit(
                 k, self.field,
                 lane_bits=self._lane_bits,
-                use_plan=self._c_plan is not None,
+                mode=c_mode,
             )(*p2_args)
             tables = (
                 lsb_to_msb(b1_lsb, k),

@@ -40,10 +40,27 @@ class FrameworkConfig:
     # GKR bookkeeping (LibraW phase tables + circuit forward pass) on device
     # (gkr/device_tables.py) instead of the host C++ runtime
     gkr_device_tables: bool = True
-    # phase-table builds as dense gathers over a host-precomputed plan
-    # instead of segment_sum scatters (gkr/device_tables.gather_plan);
-    # automatic fallback to scatter above MAX_PLAN_FANIN either way
-    gkr_gather_plan: bool = True
+    # How phase-table scatter-adds are formulated (gkr/device_tables):
+    #   "scan":    host-sorted gather + exact modular associative_scan +
+    #              boundary differences — no scatter op at all. DEFAULT:
+    #              the only formulation verified correct on the real TPU
+    #              at every layer size (see below).
+    #   "segment": one packed jax.ops.segment_sum (8/16-bit lanes).
+    #              WARNING — measured MISCOMPILE on real TPU (2026-08-19):
+    #              when the segment_sum fuses with the modular lane
+    #              recombination inside one jitted program, small-shape
+    #              scatters (observed at g = 2^4 gates; 2^20 verified
+    #              fine) return values short by exactly one unit in each
+    #              ">> 16" lane — silently wrong phase tables. Eager
+    #              (unfused) execution and CPU are exact. Kept for
+    #              large-layer perf studies only.
+    #   "plan":    dense [2^k, max_fanin] gathers over a host plan.
+    #              Measured 3.5x SLOWER than segment at 2^24 gates (synced
+    #              phase-1 23.9 s vs 6.8 s; whole prover 53.4 s vs 16.5 s —
+    #              bench_logs/r3/gkr24_plan{0,1}.log); kept for skew-free
+    #              hardware studies only
+    # All three produce bit-identical tables on CPU (differential-tested).
+    gkr_scatter_mode: str = "scan"
     # PCS Merkle build: batched device SHA-256 (ops/merkle_kernel.py) above
     # this leaf count; below it (or when 0 disables it) per-node hashlib
     merkle_device_min_leaves: int = 64
@@ -67,8 +84,12 @@ class FrameworkConfig:
             kw["use_pallas"] = os.environ["THALER_PALLAS"] == "1"
         if os.environ.get("THALER_GKR_DEVICE"):
             kw["gkr_device_tables"] = os.environ["THALER_GKR_DEVICE"] == "1"
-        if os.environ.get("THALER_GKR_PLAN"):
-            kw["gkr_gather_plan"] = os.environ["THALER_GKR_PLAN"] == "1"
+        if os.environ.get("THALER_GKR_SCATTER"):
+            kw["gkr_scatter_mode"] = os.environ["THALER_GKR_SCATTER"]
+        elif os.environ.get("THALER_GKR_PLAN"):
+            kw["gkr_scatter_mode"] = (
+                "plan" if os.environ["THALER_GKR_PLAN"] == "1" else "segment"
+            )
         if os.environ.get("THALER_MERKLE_DEVICE_MIN"):
             kw["merkle_device_min_leaves"] = int(
                 os.environ["THALER_MERKLE_DEVICE_MIN"]
