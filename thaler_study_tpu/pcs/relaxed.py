@@ -52,9 +52,16 @@ def all_multidimensional_values(field: FieldConfig, m: int) -> List[Tuple[Felt, 
 
 
 class Prover:
-    """PCS prover (ref :152-214)."""
+    """PCS prover (ref :152-214).
 
-    def __init__(self, poly: DenseMLE):
+    ``hash_family`` selects the Merkle instantiation — "sha256" (the
+    production tree, device-batched above a leaf threshold) or
+    "pedersen" (arkworks' Pedersen CRH over JubJub, the reference's own
+    config at relaxed-pcs/src/lib.rs:231-284; host-side, anchored to
+    tests/data/pedersen_golden.json). The hash family is a type
+    parameter in the reference too (``MerkleTree<P: Config>``)."""
+
+    def __init__(self, poly: DenseMLE, hash_family: str = "sha256"):
         self.poly = poly
         field = poly.field
         points = all_multidimensional_values(field, poly.num_vars)
@@ -65,7 +72,12 @@ class Prover:
         values = values + [field.zero()] * (target - len(values))
         self.values = values
         self.point_index = {pt: i for i, pt in enumerate(points)}
-        self.tree = MerkleTree(values)
+        if hash_family == "pedersen":
+            from .pedersen import PedersenMerkleTree
+
+            self.tree = PedersenMerkleTree(values)
+        else:
+            self.tree = MerkleTree(values)
 
     def merkle_root(self) -> bytes:
         return self.tree.root()
