@@ -120,6 +120,38 @@ def mulcost(np):
     t_mul16 = harness_xy(lambda a, b: a * b, x16, y16)
     t_mulf = harness_xy(lambda a, b: a * b, xf, yf)
     t_fmaf = harness_xy(lambda a, b: a * b + b, xf, yf)
+
+    # THROUGHPUT probes (r4): the chains above are data-DEPENDENT, so they
+    # price op latency. The kernel's per-element op DAG has ~8-wide
+    # parallelism, so the binding number for the compute roofline is
+    # sustained ops/s with independent lanes in flight: W accumulator
+    # chains interleaved (the compiler can issue across chains).
+    def throughput(op, width=8):
+        xs0 = tuple(
+            jnp.asarray(
+                rng.integers(1, 1 << 32, size=lanes, dtype=np.uint32)
+            )
+            for _ in range(width)
+        )
+
+        def chain(xs):
+            def body(i, xs):
+                for _ in range(k_ops):
+                    xs = tuple(op(x, y) for x in xs)
+                return xs
+
+            return jax.lax.fori_loop(0, reps, body, xs)
+
+        fn = jax.jit(chain)
+        np.asarray(fn(xs0)[0])
+        t0 = time.perf_counter()
+        out = fn(xs0)
+        np.asarray(out[0])
+        dt = time.perf_counter() - t0
+        return (reps * k_ops * width * lanes) / dt  # ops/s
+
+    thr_add = throughput(lambda a, b: a + b)
+    thr_mul = throughput(lambda a, b: a * b)
     print(
         json.dumps(
             {
@@ -133,6 +165,8 @@ def mulcost(np):
                 "f32_mul_ns_per_pass": round(t_mulf * 1e9, 1),
                 "f32_fma_ns_per_pass": round(t_fmaf * 1e9, 1),
                 "f32_mul_over_u32_mul": round(t_mulf / t_mul, 3),
+                "u32_add_throughput_gops": round(thr_add / 1e9, 1),
+                "u32_mul_throughput_gops": round(thr_mul / 1e9, 1),
             }
         )
     )
@@ -154,11 +188,25 @@ def main():
         "(fields/goldilocks.set_karatsuba) — run in a fresh process",
     )
     ap.add_argument(
-        "--selects",
+        "--masks",
         action="store_true",
-        help="use the jnp.where conditional-fixup formulation instead of "
-        "the arithmetic-mask default "
+        help="use the arithmetic-mask conditional-fixup formulation "
+        "instead of the jnp.where-select default "
         "(fields/goldilocks.set_select_fixups) — run in a fresh process",
+    )
+    ap.add_argument(
+        "--no-fused-fold",
+        action="store_true",
+        help="A/B control: compose the fold as add(lo, mul(sub(hi,lo), r)) "
+        "instead of the fused single-reduction form "
+        "(fields/farray.set_fused_fold) — run in a fresh process",
+    )
+    ap.add_argument(
+        "--tile-log",
+        type=int,
+        default=None,
+        help="Pallas kernel tile size, log2 elements per grid step "
+        "(ops/pallas_round.set_tile_log) — run in a fresh process",
     )
     ap.add_argument(
         "--mulcost",
@@ -178,8 +226,16 @@ def main():
         return mulcost(np)
     if args.karatsuba:
         gl.set_karatsuba(args.karatsuba)
-    if args.selects:
-        gl.set_select_fixups(True)
+    if args.masks:
+        gl.set_select_fixups(False)
+    if args.no_fused_fold:
+        from thaler_study_tpu.fields.farray import set_fused_fold
+
+        set_fused_fold(False)
+    if args.tile_log is not None:
+        from thaler_study_tpu.ops import pallas_round as _pr
+
+        _pr.set_tile_log(args.tile_log)
     from thaler_study_tpu.ops.round_kernel import PolySpec, _round_step_jit
 
     field = GOLDILOCKS
@@ -301,7 +357,9 @@ def main():
                     if args.karatsuba
                     else "schoolbook"
                 ),
-                "fixups": "selects" if args.selects else "masks",
+                "fixups": "masks" if args.masks else "selects",
+                "fold": "composed" if args.no_fused_fold else "fused",
+                "tile_log": args.tile_log,
                 "points": 1 << n,
                 "factors": k,
                 "element_bytes": elem_bytes,

@@ -39,6 +39,9 @@ run() {  # run <name> <timeout-s> <cmd...>
   status "DONE  $name rc=$?"
 }
 
+# roofline first: quick, doubles as a tunnel-perf control, and gives the
+# round-kernel baseline the hand-scheduled Pallas work compares against
+run roofline 3600 python benches/roofline.py
 # flagship on the final defaults (scan + selects + circuit wiring cache)
 run gkr24_scan     7200 python benches/gkr_benchmark.py --depth 16 --width-log 20 --fused
 run gkr24_scan_bd  7200 python benches/gkr_benchmark.py --depth 16 --width-log 20 --fused --breakdown --skip-verify
@@ -46,8 +49,6 @@ run gkr24_scan_bd  7200 python benches/gkr_benchmark.py --depth 16 --width-log 2
 # small-shape miscompile does not apply at 2^20)
 run gkr24_seg 7200 env THALER_GKR_SCATTER=segment \
   python benches/gkr_benchmark.py --depth 16 --width-log 20 --fused --skip-verify
-# roofline on the selects default (claim fields included)
-run roofline 3600 python benches/roofline.py
 # headline on final defaults
 run headline 3600 python bench.py
 status "ALL DONE"

@@ -216,3 +216,33 @@ def test_goldilocks_fixup_styles_bit_identical(rng):
         [(x * y) % p for x, y in zip(vals_a, vals_b)],
     ]
     assert base == expect
+
+
+@pytest.mark.parametrize("field", [GOLDILOCKS, F389], ids=lambda f: f.name)
+def test_fused_fold_bit_identical(field, rng):
+    """FArray.fold (goldilocks: fields/goldilocks.fold, one 128-bit
+    reduction instead of mul + modular add) is bit-identical to the
+    composed lo + r*(hi - lo) and to the bigint oracle, on boundary
+    cases that exercise every carry/fixup — so routing every fold site
+    through it can never change a transcript byte (the fold identity:
+    matrix-multiplication/src/lib.rs:114-122)."""
+    from thaler_study_tpu.fields import farray as fa
+
+    p = field.p
+    edge = [0, 1, p - 1, p - 2, (1 << 32) % p, ((1 << 32) - 1) % p]
+    vals_lo = edge + [rng.randrange(p) for _ in range(128)]
+    vals_hi = list(reversed(edge)) + [rng.randrange(p) for _ in range(128)]
+    lo = FArray.from_ints(np.array(vals_lo, dtype=object), field)
+    hi = FArray.from_ints(np.array(vals_hi, dtype=object), field)
+    for rv in [0, 1, p - 1, rng.randrange(p)]:
+        r = FArray.from_ints([rv], field).reshape(())
+        fused = [int(v) for v in FArray.fold(lo, hi, r).to_ints()]
+        fa.set_fused_fold(False)
+        try:
+            composed = [int(v) for v in FArray.fold(lo, hi, r).to_ints()]
+        finally:
+            fa.set_fused_fold(True)
+        oracle = [
+            (l + rv * ((h - l) % p)) % p for l, h in zip(vals_lo, vals_hi)
+        ]
+        assert fused == composed == oracle

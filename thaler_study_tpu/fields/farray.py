@@ -189,6 +189,18 @@ class FArray:
             )
         return FArray(gl.mul(*self.limbs, *o.limbs), f)
 
+    @classmethod
+    def fold(cls, lo: "FArray", hi: "FArray", r) -> "FArray":
+        """The sumcheck fold lo + r*(hi - lo) (reference identity:
+        matrix-multiplication/src/lib.rs:114-122). Goldilocks fuses the
+        trailing modular add into the product's 128-bit reduction
+        (fields/goldilocks.fold) — bit-identical to the composed ops."""
+        o = lo._coerce(r)
+        f = lo.field
+        if f.backend == "mont32" or not _FUSED_FOLD[0]:
+            return lo + (hi - lo) * o
+        return cls(gl.fold(*lo.limbs, *hi.limbs, *o.limbs), f)
+
     def __neg__(self) -> "FArray":
         f = self.field
         if f.backend == "mont32":
@@ -229,3 +241,14 @@ class FArray:
 
     def __repr__(self):
         return f"FArray({self.field.name}, shape={self.shape})"
+
+
+# Fused-fold switch: True = goldilocks folds use the single-reduction form.
+# Bit-identical either way (differential-tested); the switch exists so
+# benchmarks can A/B the op-count diet (benches/roofline.py --no-fused-fold).
+_FUSED_FOLD = [True]
+
+
+def set_fused_fold(on) -> None:
+    """Benchmarks only; callers must clear jit caches when flipping."""
+    _FUSED_FOLD[0] = bool(on)

@@ -268,6 +268,32 @@ def mul(alo, ahi, blo, bhi):
     return _reduce128(*_mul_words(alo, ahi, blo, bhi))
 
 
+def _add64_into_words(w0, w1, w2, w3, blo, bhi):
+    """128-bit words += a 64-bit value. Exact when the total stays
+    < 2^128 (the caller's range argument)."""
+    lo, c0 = _carry_add(w0, blo)
+    t, c1 = _carry_add(w1, bhi)
+    w1b, c2 = _carry_add(t, c0)  # carries exclusive; c1 + c2 in {0, 1}
+    w2b, c3 = _carry_add(w2, c1 + c2)
+    return lo, w1b, w2b, w3 + c3
+
+
+def fold(llo, lhi, hlo, hhi, rlo, rhi):
+    """Fused sumcheck fold lo + r*(hi - lo) mod p (canonical inputs).
+
+    The hot per-round op (reference identity: matrix-multiplication/
+    src/lib.rs:114-122). Fusing the trailing modular add into the
+    128-bit product reduction does ONE `_reduce128` instead of a
+    reduction plus a full modular add: d*r + lo <= (p-1)^2 + (p-1)
+    = p(p-1) < 2^128, so adding lo into the raw product words is exact
+    and the canonical result is bit-identical to
+    ``add(lo, mul(sub(hi, lo), r))``.
+    """
+    dlo, dhi = sub(hlo, hhi, llo, lhi)
+    w = _mul_words(dlo, dhi, rlo, rhi)
+    return _reduce128(*_add64_into_words(*w, llo, lhi))
+
+
 _LANE_CHUNK = 1 << 16  # 16-bit lanes summed over <= 2^16 terms stay < 2^32
 
 

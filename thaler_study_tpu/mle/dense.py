@@ -170,8 +170,7 @@ def fold_msb(table: FArray, r: FArray) -> FArray:
     src/lib.rs:114-122) in contiguous-halves form. ``r`` is a 0-d FArray.
     """
     half = table.shape[0] // 2
-    lo, hi = table[:half], table[half:]
-    return lo + (hi - lo) * r
+    return FArray.fold(table[:half], table[half:], r)
 
 
 def _fold_impl(table: FArray, rs: FArray, k: int) -> FArray:
@@ -199,7 +198,7 @@ def _eval_many_impl(table: FArray, rs: FArray, n: int) -> FArray:
         r_j = t.__class__(
             tuple(l[:, j : j + 1] for l in rs.limbs), rs.field
         )
-        t = lo + (hi - lo) * r_j
+        t = t.__class__.fold(lo, hi, r_j)
     return t.reshape(p_count)
 
 

@@ -52,9 +52,27 @@ _SUBLANES = 8
 # and clear _build_call.cache_clear()
 INTERPRET = False
 
+# log2 of the max tile (elements per factor per grid step). 2^13 = [64, 128]
+# uint32 blocks (the measured default). Larger tiles cut grid steps (and
+# per-step pipeline overhead) at the cost of VMEM: 2^15 tiles for k=2
+# goldilocks hold 16 input + 8 fold-output blocks of 128 KiB — ~6 MiB with
+# double buffering, still under the 16 MiB VMEM. Benchmarks sweep this via
+# set_tile_log; the default only moves on measurement (benches/roofline.py
+# --tile-log).
+_TILE_LOG = [13]
+
+
+def set_tile_log(v: int) -> None:
+    """Select the kernel tile size (log2 elements); benchmarks only.
+    Callers must clear _build_call caches when flipping mid-process."""
+    _TILE_LOG[0] = int(v)
+
 
 def _field_ops(field: FieldConfig):
-    """(num_limbs, add, sub, mul) over limb tuples for the field."""
+    """(num_limbs, add, sub, mul, fold) over limb tuples for the field.
+
+    ``fold(lo, hi, r)`` = lo + r*(hi - lo): goldilocks uses the fused
+    single-reduction form (fields/goldilocks.fold, bit-identical)."""
     if field.backend == "mont32":
         p, pinv = field.p, field.mont_pinv_neg
 
@@ -67,7 +85,10 @@ def _field_ops(field: FieldConfig):
         def mul(a, b):
             return (b32.mont_mul(p, pinv, a[0], b[0]),)
 
-        return 1, add, sub, mul
+        def fold1(lo, hi, r):
+            return add(lo, mul(sub(hi, lo), r))
+
+        return 1, add, sub, mul, fold1
 
     def add2(a, b):
         return gl.add(a[0], a[1], b[0], b[1])
@@ -78,7 +99,14 @@ def _field_ops(field: FieldConfig):
     def mul2(a, b):
         return gl.mul(a[0], a[1], b[0], b[1])
 
-    return 2, add2, sub2, mul2
+    def fold2(lo, hi, r):
+        from ..fields.farray import _FUSED_FOLD
+
+        if not _FUSED_FOLD[0]:  # benchmark A/B switch (trace-time read)
+            return add2(lo, mul2(sub2(hi, lo), r))
+        return gl.fold(lo[0], lo[1], hi[0], hi[1], r[0], r[1])
+
+    return 2, add2, sub2, mul2, fold2
 
 
 def _tree_reduce(vals: Tuple, add) -> Tuple:
@@ -184,7 +212,7 @@ def _make_kernel(
     product pass — one full _mul_words + lane reduction over the tile —
     is skipped; the caller fills s(1) = c - s(0). The t >= 2 views still
     accumulate through the same adds, so all other sums are bit-identical."""
-    nl, add, sub, mul = _field_ops(field)
+    nl, add, sub, mul, fold = _field_ops(field)
 
     def kernel(*refs):
         # refs: [r_smem] + per-factor per-limb 4 slices (q0,q1,q2,q3)
@@ -209,10 +237,8 @@ def _make_kernel(
                 for j in range(4)
             ]
             # folded lo half: fold(q0, q2); folded hi half: fold(q1, q3)
-            d_lo = sub(q[2], q[0])
-            lo = add(q[0], mul(d_lo, r_bcast))
-            d_hi = sub(q[3], q[1])
-            hi = add(q[1], mul(d_hi, r_bcast))
+            lo = fold(q[0], q[2], r_bcast)
+            hi = fold(q[1], q[3], r_bcast)
             for limb in range(nl):
                 fold_refs[(f * nl + limb) * 2][0] = lo[limb]
                 fold_refs[(f * nl + limb) * 2 + 1][0] = hi[limb]
@@ -267,11 +293,12 @@ def _build_call(
     degree: int,
     n_points: int,
     skip_t1: bool = False,
+    tile_log: int = 13,
 ):
     """Build the pallas_call for a round over tables of n_points entries."""
-    nl, _, _, _ = _field_ops(field)
+    nl = _field_ops(field)[0]
     quarter = n_points // 4
-    tile = min(quarter, 1 << 13)  # 8192-element tiles: [64, 128]
+    tile = min(quarter, 1 << tile_log)
     assert quarter % tile == 0
     rows = tile // _LANES
     num_tiles = quarter // tile
@@ -362,8 +389,9 @@ def _build_call_jit(
     degree: int,
     n_points: int,
     skip_t1: bool = False,
+    tile_log: int = 13,
 ):
-    return jax.jit(_build_call(field, k, degree, n_points, skip_t1))
+    return jax.jit(_build_call(field, k, degree, n_points, skip_t1, tile_log))
 
 
 def supports(
@@ -404,7 +432,9 @@ def pallas_round_step(
     k = len(tables)
     degree = spec.after_fold().degree()
     skip = claim is not None and degree >= 1
-    fn = _build_call_jit(field, k, degree, tables[0].shape[0], skip)
+    fn = _build_call_jit(
+        field, k, degree, tables[0].shape[0], skip, _TILE_LOG[0]
+    )
     if skip:
         return fn(tuple(tables), r, claim)
     return fn(tuple(tables), r)
@@ -418,7 +448,9 @@ def pallas_round_step_raw(
     field = tables[0].field
     degree = spec.after_fold().degree()
     skip = claim is not None and degree >= 1
-    fn = _build_call(field, len(tables), degree, tables[0].shape[0], skip)
+    fn = _build_call(
+        field, len(tables), degree, tables[0].shape[0], skip, _TILE_LOG[0]
+    )
     if skip:
         return fn(tuple(tables), r, claim)
     return fn(tuple(tables), r)

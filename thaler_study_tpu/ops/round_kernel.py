@@ -116,8 +116,7 @@ def _fold_tables(
     for k, t in enumerate(tables):
         if 0 in spec.table_blocks[k]:
             half = t.shape[0] // 2
-            lo, hi = t[:half], t[half:]
-            out.append(lo + (hi - lo) * r)
+            out.append(FArray.fold(t[:half], t[half:], r))
         else:
             out.append(t)
     return tuple(out)

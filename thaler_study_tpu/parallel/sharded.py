@@ -94,8 +94,7 @@ def _fold2d(tables: Sequence[FArray], r: FArray) -> Tuple[FArray, ...]:
             out.append(t)
             continue
         half = t.shape[1] // 2
-        lo, hi = t[:, :half], t[:, half:]
-        out.append(lo + (hi - lo) * r)
+        out.append(FArray.fold(t[:, :half], t[:, half:], r))
     return tuple(out)
 
 
@@ -420,8 +419,7 @@ def _mb_fold(spec: PolySpec, tables: Sequence[FArray], r: FArray):
     for k, t in enumerate(tables):
         if 0 in spec.table_blocks[k] and spec.block_sizes[0] > 0:
             half = t.shape[1] // 2
-            lo, hi = t[:, :half], t[:, half:]
-            out.append(lo + (hi - lo) * r)
+            out.append(FArray.fold(t[:, :half], t[:, half:], r))
         else:
             out.append(t)
     return tuple(out)

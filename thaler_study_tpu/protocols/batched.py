@@ -30,8 +30,7 @@ def _fold_batch(tables: Sequence[FArray], r: FArray) -> Tuple[FArray, ...]:
     r2 = r.reshape(r.shape[0], 1)
     for t in tables:
         half = t.shape[1] // 2
-        lo, hi = t[:, :half], t[:, half:]
-        out.append(lo + (hi - lo) * r2)
+        out.append(FArray.fold(t[:, :half], t[:, half:], r2))
     return tuple(out)
 
 
