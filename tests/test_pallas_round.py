@@ -96,3 +96,48 @@ def test_pallas_claim_shortcut_bit_identical(field, rng):
     ]
     for fc, fr in zip(folded_c, folded_ref):
         assert (np.asarray(fc.to_ints()) == np.asarray(fr.to_ints())).all()
+
+
+def test_pallas_tile_sizes_bit_identical(rng):
+    """Every tile size (set_tile_log; the grid-step/VMEM trade) produces
+    bit-identical sums and folded tables — the tile only re-chunks the
+    grid, so flipping the default after measurement can never change a
+    transcript byte. n = 12: quarter = 2^10, so tile_log 13+ clamps to
+    one tile and 10 exercises multi-tile accumulation."""
+    field = F1572869
+    n = 12
+    spec = PolySpec(
+        block_sizes=(n,),
+        table_blocks=((0,), (0,)),
+        terms=((0, 1),),
+    )
+    tables = []
+    for _ in range(2):
+        evals = np.array(
+            [rng.randrange(field.p) for _ in range(1 << n)], dtype=np.uint64
+        )
+        tables.append(DenseMLE.from_evals_lsb(evals, n, field).evals)
+    r = FArray.scalar(field.felt(rng.randrange(field.p)))
+
+    results = []
+    prev = pallas_round._TILE_LOG[0]
+    try:
+        for tl in (10, 13, 15):
+            pallas_round.set_tile_log(tl)
+            pallas_round._build_call.cache_clear()
+            pallas_round._build_call_jit.cache_clear()
+            sums, folded = pallas_round.pallas_round_step(spec, tables, r)
+            results.append(
+                (
+                    [int(v) for v in sums.to_ints()],
+                    [np.asarray(f.to_ints()) for f in folded],
+                )
+            )
+    finally:
+        pallas_round.set_tile_log(prev)
+        pallas_round._build_call.cache_clear()
+        pallas_round._build_call_jit.cache_clear()
+    for sums_i, folded_i in results[1:]:
+        assert sums_i == results[0][0]
+        for fa_, fb_ in zip(folded_i, results[0][1]):
+            assert (fa_ == fb_).all()
