@@ -116,6 +116,8 @@ def main():
     c_scan = tuple(jnp.asarray(x) for x in scan_plan(c_idx_np, g))
     b_plan_np = wiring_plan_or_none(b_idx_np, g)
     b_plan = None if b_plan_np is None else jnp.asarray(b_plan_np)
+    c_plan_np = wiring_plan_or_none(c_idx_np, g)
+    c_plan = None if c_plan_np is None else jnp.asarray(c_plan_np)
     jax.block_until_ready(
         (w_lsb.limbs, r_i.limbs, b_idx, c_idx, is_mul, b_scan, c_scan)
     )
@@ -139,6 +141,17 @@ def main():
             timed(lambda: sc_jit(b_scan[0], b_scan[1], vals_a, vals_b),
                   args.reps) * 1e3
         )
+    elif args.mode == "plan":
+        from thaler_study_tpu.gkr.device_tables import gather_add_mod_many
+
+        sc_jit = jax.jit(
+            lambda p, va, vb: tuple(
+                x.limbs for x in gather_add_mod_many(p, (va, vb))
+            )
+        )
+        res["scatter_ms"] = (
+            timed(lambda: sc_jit(b_plan, vals_a, vals_b), args.reps) * 1e3
+        )
     else:
         from thaler_study_tpu.gkr.device_tables import scatter_add_mod_many
 
@@ -157,7 +170,9 @@ def main():
             return {"b_scan" if which == 1 else "c_scan":
                     b_scan if which == 1 else c_scan}
         if args.mode == "plan":
-            return {"b_plan" if which == 1 else "c_plan": b_plan}
+            return (
+                {"b_plan": b_plan} if which == 1 else {"c_plan": c_plan}
+            )
         return {}
 
     # --- phase builds, full
@@ -269,7 +284,7 @@ def main():
     if args.mode == "scan":
         p2_args += c_scan
     elif args.mode == "plan":
-        p2_args += (b_plan,)
+        p2_args += (c_plan,)
     res["p2_ms"] = timed(lambda: p2(*p2_args), args.reps) * 1e3
 
     res["p1_parts_sum_ms"] = round(

@@ -43,7 +43,8 @@ def test_config_use_pallas_flips_kernel_path(monkeypatch):
     monkeypatch.setattr(
         pallas_round,
         "pallas_round_step",
-        lambda spec, tables, r: calls.append("step") or ("SENTINEL", tables),
+        lambda spec, tables, r, claim=None: calls.append("step")
+        or ("SENTINEL", tables),
     )
     spec = round_kernel.PolySpec((3,), ((0,),), ((0,),))
     table = FArray.from_ints(list(range(8)), F389)
