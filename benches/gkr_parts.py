@@ -241,6 +241,46 @@ def main():
         timed(lambda: rounds_jit(t0a, t1a, t2a, chal), args.reps) * 1e3
     )
 
+    # --- the line restriction q(t) = W~(u + t*delta): old (k+1 eq-table
+    # evaluations + interpolation) vs new (symbolic coefficient fold) —
+    # the dominant phase-2 cost found in r5 (VERDICT r4 #3)
+    from thaler_study_tpu.gkr.device_tables import (
+        dot_mod,
+        line_restrict_coeffs,
+    )
+    from thaler_study_tpu.ops.fs_kernel import (
+        _interp_coeffs as interp_coeffs,
+    )
+
+    delta = farr(k)
+
+    def qline_interp_impl(w, uu, dd):
+        evals = []
+        for t in range(k + 1):
+            t_s = FArray.from_ints([t], F).reshape(())
+            point = uu + dd * t_s
+            evals.append(dot_mod(w, eq_table_dev(point, k)))
+        q_vals = FArray(
+            tuple(
+                jnp.stack([e.limbs[i] for e in evals]) for i in range(2)
+            ),
+            F,
+        )
+        coeffs, _ = interp_coeffs(q_vals, k)
+        return tuple(c for pair in coeffs for c in pair)
+
+    qi_jit = jax.jit(qline_interp_impl)
+    res["qline_interp_ms"] = (
+        timed(lambda: qi_jit(w_lsb, u, delta), args.reps) * 1e3
+    )
+
+    qf_jit = jax.jit(
+        lambda w, uu, dd: line_restrict_coeffs(w, uu, dd, k).limbs
+    )
+    res["qline_fold_ms"] = (
+        timed(lambda: qf_jit(w_lsb, u, delta), args.reps) * 1e3
+    )
+
     # --- the SHA absorb + hash_to_field chain alone, k rounds
     unroll = default_unroll()
     state0 = jnp.asarray(sha256_midstate(bytes(64)))

@@ -211,3 +211,51 @@ def test_fused_scan_mode_byte_identical():
             Prover(circuit, inputs, GOLDILOCKS), GOLDILOCKS
         )
     assert [m.hex() for m in t_scan.g] == [m.hex() for m in t_ref.g]
+
+
+def test_line_restrict_coeffs_bit_identical():
+    """The symbolic coefficient fold (device_tables.line_restrict_coeffs,
+    the r5 default — ~16x fewer muls) must produce bit-identical line
+    restriction coefficients to the k+1-evaluation + exact-interpolation
+    form it replaced (both are exact mod p, so equality is exact)."""
+    import numpy as np
+
+    from thaler_study_tpu.fields import FArray
+    from thaler_study_tpu.gkr.device_tables import (
+        dot_mod,
+        eq_table_dev,
+        line_restrict_coeffs,
+    )
+    from thaler_study_tpu.ops.fs_kernel import _interp_coeffs
+
+    nrng = np.random.default_rng(7)
+    for k in (2, 3, 5, 8):
+        w = FArray.from_ints(
+            nrng.integers(0, GOLDILOCKS.p, 1 << k, dtype=np.uint64),
+            GOLDILOCKS,
+        )
+        u = FArray.from_ints(
+            nrng.integers(0, GOLDILOCKS.p, k, dtype=np.uint64), GOLDILOCKS
+        )
+        c = FArray.from_ints(
+            nrng.integers(0, GOLDILOCKS.p, k, dtype=np.uint64), GOLDILOCKS
+        )
+        delta = c - u
+        qc = line_restrict_coeffs(w, u, delta, k)
+        evals = []
+        for t in range(k + 1):
+            t_s = FArray.from_ints([t], GOLDILOCKS).reshape(())
+            point = u + delta * t_s
+            evals.append(dot_mod(w, eq_table_dev(point, k)))
+        import jax.numpy as jnp
+
+        q_vals = FArray(
+            tuple(
+                jnp.stack([e.limbs[i] for e in evals]) for i in range(2)
+            ),
+            GOLDILOCKS,
+        )
+        ref, _ = _interp_coeffs(q_vals, k)
+        got = qc.to_ints()
+        want = [int(lo) | (int(hi) << 32) for lo, hi in ref]
+        assert [int(x) for x in got] == want, f"k={k}"

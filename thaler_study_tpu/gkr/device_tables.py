@@ -374,6 +374,46 @@ def phase2_tables(
     return b1, b2, w_u
 
 
+def line_restrict_coeffs(w_lsb: FArray, u: FArray, delta: FArray, k: int) -> FArray:
+    """Coefficients (ascending powers of t) of q(t) = W~(u + t*delta), the
+    degree-k line restriction of the multilinear W (ref restrict_poly,
+    gkr-protocol/src/lib.rs — there: evaluate at k+1 points + interpolate).
+
+    Instead of k+1 separate full MLE evaluations (each an eq-table build +
+    dot product, ~3*2^k modular muls apiece, ~63*2^k total at k=20 — the
+    dominant phase-2 cost per benches/gkr_parts.py), fold W one variable at
+    a time with the affine coordinate r_j(t) = u_j + t*delta_j carried
+    symbolically: table entries become polynomials in t whose degree grows
+    by 1 per fold while the table halves, so the total work is
+    sum_j 2^(k-j-1) * 2(j+1) = 4*2^k scalar muls — ~16x fewer. Every step
+    is exact mod p, so the resulting coefficients are bit-identical to the
+    evaluate+interpolate form (asserted in tests/test_gkr_fused.py).
+
+    ``w_lsb`` [2^k] is in label (little-endian) order: index bit j is
+    variable j, matching eq_table_dev's convention, so the fold combines
+    adjacent pairs (even = x_j=0, odd = x_j=1) at every step.
+    """
+    field = w_lsb.field
+    arr = w_lsb.reshape(-1, 1)  # [2^k, 1]: degree-0 polynomials in t
+    for j in range(k):
+        uj = u[j]
+        dj = delta[j]
+        half = arr.shape[0] // 2
+        pairs = arr.reshape(half, 2, arr.shape[1])
+        even = pairs[:, 0, :]
+        odd = pairs[:, 1, :]
+        diff = odd - even  # degree-j poly per entry
+        # r_j(t) * diff(t) = u_j*diff + t * (delta_j*diff): degree j+1
+        a = diff * uj
+        b = diff * dj
+        zero_col = FArray.zeros((half, 1), field)
+        prod = a.concatenate(zero_col, axis=1) + zero_col.concatenate(
+            b, axis=1
+        )
+        arr = even.concatenate(zero_col, axis=1) + prod
+    return arr.reshape(-1)  # [k+1] coefficients of t^0 .. t^k
+
+
 def wiring_plan_or_none(idx: np.ndarray, size: int):
     """The gather plan for one scatter key, or None when the wiring's max
     fan-in exceeds MAX_PLAN_FANIN (skewed layers keep segment_sum)."""

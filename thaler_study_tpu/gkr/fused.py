@@ -51,6 +51,7 @@ from ..ops.sha_chain import DevChain, default_unroll, hash_to_field_chain
 from .device_tables import (
     dot_mod,
     eq_table_dev,
+    line_restrict_coeffs,
     lsb_to_msb,
     phase1_tables,
     phase2_tables,
@@ -58,6 +59,19 @@ from .device_tables import (
 
 U8 = jnp.uint8
 U32 = jnp.uint32
+
+# Line-restriction algorithm for dispatch B: "fold" = symbolic coefficient
+# fold (4*2^k muls, device_tables.line_restrict_coeffs, the default);
+# "interp" = k+1 eq-table evaluations + exact interpolation (~63*2^k muls,
+# the r2-r4 form, kept as the A/B control). Bit-identical outputs. Read at
+# trace time — _layer_phase2_jit is cached, so flip it in a fresh process
+# (the benches do; same caveat as fields.goldilocks.set_karatsuba).
+_LINE_RESTRICT = ["fold"]
+
+
+def set_line_restrict(mode: str) -> None:
+    assert mode in ("fold", "interp")
+    _LINE_RESTRICT[0] = mode
 
 
 def _np_bytes(raw: bytes) -> jnp.ndarray:
@@ -289,19 +303,25 @@ def _layer_phase2_jit(
             field,
         )
         delta = c_arr - u
-        evals = []
-        for t in range(k + 1):
-            t_s = FArray.from_ints([t], field).reshape(())
-            point = u + delta * t_s
-            evals.append(dot_mod(w_lsb, eq_table_dev(point, k)))
-        q_vals = FArray(
-            tuple(
-                jnp.stack([e.limbs[i] for e in evals])
-                for i in range(len(evals[0].limbs))
-            ),
-            field,
-        )
-        q_coeffs, _ = _interp_coeffs(q_vals, k)
+        if _LINE_RESTRICT[0] == "fold":
+            qc = line_restrict_coeffs(w_lsb, u, delta, k)
+            q_coeffs = [
+                (qc.limbs[0][t], qc.limbs[1][t]) for t in range(k + 1)
+            ]
+        else:
+            evals = []
+            for t in range(k + 1):
+                t_s = FArray.from_ints([t], field).reshape(())
+                point = u + delta * t_s
+                evals.append(dot_mod(w_lsb, eq_table_dev(point, k)))
+            q_vals = FArray(
+                tuple(
+                    jnp.stack([e.limbs[i] for e in evals])
+                    for i in range(len(evals[0].limbs))
+                ),
+                field,
+            )
+            q_coeffs, _ = _interp_coeffs(q_vals, k)
         any_zero = _track_zero(any_zero, q_coeffs)
         final_msg = jnp.concatenate(
             [_np_bytes(bytes([3]))]
