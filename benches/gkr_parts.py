@@ -49,14 +49,37 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
+def _digest(*leaves):
+    """Reduce arbitrary program outputs to ONE u32 scalar on device, so
+    timing pulls a 4-byte result per rep. block_until_ready does NOT
+    actually block through the remote-execution tunnel (observed —
+    benches/roofline.py notes; the first committed run of this bench
+    reported the full dispatch at 0.2 ms against a 157 ms part); a host
+    pull of a scalar that data-depends on every output is the only honest
+    sync, and the scalar keeps the pull itself off the timing."""
+    acc = jnp.uint32(0)
+    for a in leaves:
+        acc = acc + jnp.sum(
+            jnp.ravel(a).astype(jnp.uint32), dtype=jnp.uint32
+        )
+    return acc
+
+
+def djit(fn):
+    """jit(fn) wrapped to return the u32 digest of all its outputs."""
+    return jax.jit(
+        lambda *a: _digest(*jax.tree_util.tree_leaves(fn(*a)))
+    )
+
+
 def timed(fn, reps):
-    """Warm then time: median of ``reps`` synced calls (call 0 compiles)."""
-    out = fn()
-    jax.block_until_ready(out)
+    """Warm (compile) then time: median of ``reps`` calls, each synced by
+    a host pull of the 4-byte digest (see _digest)."""
+    np.asarray(fn())
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        np.asarray(fn())
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -124,15 +147,23 @@ def main():
 
     res = {"k": k, "g": g, "mode": args.mode, "reps": args.reps}
 
+    # --- null-dispatch baseline: every part timing includes one tunnel
+    # round-trip for the 4-byte digest pull; subtract this to compare
+    # device-side work
+    sync_jit = djit(lambda x: x + jnp.uint32(1))
+    res["sync_ms"] = (
+        timed(lambda: sync_jit(jnp.uint32(0)), args.reps) * 1e3
+    )
+
     # --- eq table build
-    eq_jit = jax.jit(lambda r: eq_table_dev(r, k).limbs)
+    eq_jit = djit(lambda r: eq_table_dev(r, k).limbs)
     res["eq_ms"] = timed(lambda: eq_jit(r_i), args.reps) * 1e3
 
     # --- scatter-add alone (2 value arrays, the phase-1 shape)
     vals_a = farr(g)
     vals_b = farr(g)
     if args.mode == "scan":
-        sc_jit = jax.jit(
+        sc_jit = djit(
             lambda o, s, va, vb: tuple(
                 x.limbs for x in scan_add_mod_many(o, s, (va, vb))
             )
@@ -144,7 +175,7 @@ def main():
     elif args.mode == "plan":
         from thaler_study_tpu.gkr.device_tables import gather_add_mod_many
 
-        sc_jit = jax.jit(
+        sc_jit = djit(
             lambda p, va, vb: tuple(
                 x.limbs for x in gather_add_mod_many(p, (va, vb))
             )
@@ -155,7 +186,7 @@ def main():
     else:
         from thaler_study_tpu.gkr.device_tables import scatter_add_mod_many
 
-        sc_jit = jax.jit(
+        sc_jit = djit(
             lambda i, va, vb: tuple(
                 x.limbs
                 for x in scatter_add_mod_many(i, (va, vb), g, lane_bits=16)
@@ -176,7 +207,7 @@ def main():
         return {}
 
     # --- phase builds, full
-    b1_jit = jax.jit(
+    b1_jit = djit(
         lambda r, w, bi, ci, m: tuple(
             x.limbs for x in phase1_tables(
                 r, w, bi, ci, m, k, k, lane_bits=16, **extra(1)
@@ -189,7 +220,7 @@ def main():
     )
     eq_r = eq_table_dev(r_i, k)
     jax.block_until_ready(eq_r.limbs)
-    b2_jit = jax.jit(
+    b2_jit = djit(
         lambda uu, w, er, bi, ci, m: tuple(
             x.limbs for x in phase2_tables(
                 uu, w, er, bi, ci, m, k, lane_bits=16, **extra(2)
@@ -202,7 +233,7 @@ def main():
     )
 
     # --- order relabel x3
-    msb_jit = jax.jit(
+    msb_jit = djit(
         lambda a, b, c: (
             lsb_to_msb(a, k).limbs,
             lsb_to_msb(b, k).limbs,
@@ -235,7 +266,7 @@ def main():
             r = FArray((ch.limbs[0][j], ch.limbs[1][j]), F)
         return tuple(outs)
 
-    rounds_jit = jax.jit(rounds_impl)
+    rounds_jit = djit(rounds_impl)
     t0a, t1a, t2a = farr(g), farr(g), farr(g)
     res["rounds_ms"] = (
         timed(lambda: rounds_jit(t0a, t1a, t2a, chal), args.reps) * 1e3
@@ -269,12 +300,12 @@ def main():
         coeffs, _ = interp_coeffs(q_vals, k)
         return tuple(c for pair in coeffs for c in pair)
 
-    qi_jit = jax.jit(qline_interp_impl)
+    qi_jit = djit(qline_interp_impl)
     res["qline_interp_ms"] = (
         timed(lambda: qi_jit(w_lsb, u, delta), args.reps) * 1e3
     )
 
-    qf_jit = jax.jit(
+    qf_jit = djit(
         lambda w, uu, dd: line_restrict_coeffs(w, uu, dd, k).limbs
     )
     res["qline_fold_ms"] = (
@@ -299,7 +330,7 @@ def main():
             outs.append(rhi)
         return tuple(outs) + (chain.state,)
 
-    sha_jit = jax.jit(sha_impl)
+    sha_jit = djit(sha_impl)
     res["sha_ms"] = timed(lambda: sha_jit(state0, buf0), args.reps) * 1e3
 
     # --- the real dispatches, for the cross-check
@@ -312,7 +343,8 @@ def main():
         p1_args += b_scan
     elif args.mode == "plan":
         p1_args += (b_plan,)
-    res["p1_ms"] = timed(lambda: p1(*p1_args), args.reps) * 1e3
+    p1d = djit(lambda *a: p1(*a))
+    res["p1_ms"] = timed(lambda: p1d(*p1_args), args.reps) * 1e3
 
     p2 = _layer_phase2_jit(k, g, F, lane_bits=16, mode=args.mode)
     a_lo = jnp.ones((k, 3), jnp.uint32)
@@ -325,7 +357,8 @@ def main():
         p2_args += c_scan
     elif args.mode == "plan":
         p2_args += (c_plan,)
-    res["p2_ms"] = timed(lambda: p2(*p2_args), args.reps) * 1e3
+    p2d = djit(lambda *a: p2(*a))
+    res["p2_ms"] = timed(lambda: p2d(*p2_args), args.reps) * 1e3
 
     res["p1_parts_sum_ms"] = round(
         res["build1_ms"] + res["msb3_ms"] + res["rounds_ms"] + res["sha_ms"],
