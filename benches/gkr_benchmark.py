@@ -147,6 +147,14 @@ def run_fused(args, circuit, inputs, F, prover, emit, t_forward):
                                 sum(s for p, _, s in timings if p == "phase2"),
                                 3,
                             ),
+                            "scan_layers_s": round(
+                                sum(
+                                    s
+                                    for p, _, s in timings
+                                    if p == "scan_layers"
+                                ),
+                                3,
+                            ),
                             "final_pull_s": round(
                                 sum(s for p, _, s in timings if p == "pull"), 3
                             ),

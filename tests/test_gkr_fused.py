@@ -259,3 +259,41 @@ def test_line_restrict_coeffs_bit_identical():
         got = qc.to_ints()
         want = [int(lo) | (int(hi) << 32) for lo, hi in ref]
         assert [int(x) for x in got] == want, f"k={k}"
+
+
+def test_scan_proof_single_dispatch_byte_identical():
+    """The whole-proof layer scan (fused._scan_proof_jit — ONE dispatch
+    for every layer of a uniform-width circuit, the r5 enqueue-drag
+    killer) must emit the byte-identical transcript to the per-layer
+    dispatch path (forced via segment mode) and the host message loop."""
+    from thaler_study_tpu.gkr.fused import _scan_supported
+    from thaler_study_tpu.utils.config import FrameworkConfig, use_config
+
+    rng = random.Random(11)
+    circuit = _random_circuit(3, 3, 3, rng)  # uniform 2^3 widths
+    inputs = _inputs(8, GOLDILOCKS, rng)
+    t_host = generate_gkr_transcript(Prover(circuit, inputs, GOLDILOCKS), GOLDILOCKS)
+    with use_config(FrameworkConfig(gkr_scatter_mode="scan")):
+        lane_bits = [16] * len(circuit.layers)
+        assert _scan_supported(circuit, "scan", lane_bits, None)
+        t_scan = generate_gkr_transcript_fused(
+            Prover(circuit, inputs, GOLDILOCKS), GOLDILOCKS
+        )
+    with use_config(FrameworkConfig(gkr_scatter_mode="segment")):
+        t_layer = generate_gkr_transcript_fused(
+            Prover(circuit, inputs, GOLDILOCKS), GOLDILOCKS
+        )
+    assert [m.hex() for m in t_scan.g] == [m.hex() for m in t_host.g]
+    assert [m.hex() for m in t_layer.g] == [m.hex() for m in t_host.g]
+
+    # mixed layer sizes must NOT take the scan path (falls back per-layer)
+    mixed = _random_circuit(2, 3, 2, rng)
+    assert not _scan_supported(mixed, "scan", [16, 16], None)
+    mi = _inputs(4, GOLDILOCKS, rng)
+    t_mixed = generate_gkr_transcript_fused(
+        Prover(mixed, mi, GOLDILOCKS), GOLDILOCKS
+    )
+    t_mixed_host = generate_gkr_transcript(
+        Prover(mixed, mi, GOLDILOCKS), GOLDILOCKS
+    )
+    assert [m.hex() for m in t_mixed.g] == [m.hex() for m in t_mixed_host.g]

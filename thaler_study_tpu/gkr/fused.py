@@ -130,6 +130,92 @@ def _phase2_spec(k: int) -> PolySpec:
 # ---------------------------------------------------------------------------
 
 
+def _phase1_body(
+    k_cur, k, field, lane_bits, mode, unroll,
+    state, buf, nbytes, layer_idx, r_i, w_lsb, b_idx, c_idx, is_mul,
+    extra,
+):
+    """Traceable dispatch-A body (phase-1 build + rounds 0..k-1) — shared
+    verbatim by the per-layer jit and the whole-proof layer scan
+    (_scan_proof_jit) so the two paths are byte-identical by
+    construction."""
+    chain = DevChain(state, buf, nbytes, unroll)
+    a1_lsb, a2_lsb, eq_r = phase1_tables(
+        r_i, w_lsb, b_idx, c_idx, is_mul, k_cur, k,
+        lane_bits=lane_bits,
+        b_plan=extra[0] if mode == "plan" else None,
+        b_scan=tuple(extra) if mode == "scan" else None,
+    )
+    tables = (
+        lsb_to_msb(w_lsb, k),
+        lsb_to_msb(a1_lsb, k),
+        lsb_to_msb(a2_lsb, k),
+    )
+    spec = _phase1_spec(k)
+    any_zero = jnp.asarray(False)
+    coeff_rows = []
+    u_scalars = []
+    r = None
+    dom_coeffs = None
+    c1 = None
+    for j in range(k):
+        if r is not None:
+            tables = _fold_tables(spec, tables, r)
+            spec = spec.after_fold()
+            claim = _claim_at(field, dom_coeffs, r)
+        else:
+            claim = None
+        sums = _round_sums(spec, tables, 2, claim=claim)
+        if j == 0:
+            # the layer claim (StartSumCheck.c_1) = s(0) + s(1) of the
+            # first round — no separate full-grid product pass needed
+            c1 = FArray(
+                gl.add(
+                    sums.limbs[0][0],
+                    sums.limbs[1][0],
+                    sums.limbs[0][1],
+                    sums.limbs[1][1],
+                ),
+                field,
+            )
+            start_msg = jnp.concatenate(
+                [
+                    _np_bytes(bytes([1])),
+                    _felt_bytes_le(c1.limbs[0], c1.limbs[1]),
+                    _le8_from_u32(layer_idx),
+                    _np_bytes(struct.pack("<Q", 2 * k)),
+                ]
+            )
+            chain = chain.absorb(start_msg)
+        coeffs, dom_coeffs = _interp_coeffs(sums, 2)
+        any_zero = _track_zero(any_zero, coeffs)
+        coeff_rows.append(coeffs)
+        chain = chain.absorb(_msg_sumcheck(coeffs))
+        ((rlo, rhi),) = hash_to_field_chain(chain, field, 1)
+        u_scalars.append((rlo, rhi))
+        r = FArray((rlo, rhi), field)
+    u = FArray(
+        (
+            jnp.stack([s[0] for s in u_scalars]),
+            jnp.stack([s[1] for s in u_scalars]),
+        ),
+        field,
+    )
+    coeff_lo = jnp.stack([jnp.stack([c[0] for c in row]) for row in coeff_rows])
+    coeff_hi = jnp.stack([jnp.stack([c[1] for c in row]) for row in coeff_rows])
+    return (
+        chain.state,
+        chain.buf,
+        chain.nbytes,
+        jnp.stack(c1.limbs),
+        coeff_lo,
+        coeff_hi,
+        u,
+        eq_r,
+        any_zero,
+    )
+
+
 @lru_cache(maxsize=None)
 def _layer_phase1_jit(
     k_cur: int,
@@ -145,76 +231,10 @@ def _layer_phase1_jit(
         state, buf, nbytes, layer_idx, r_i, w_lsb, b_idx, c_idx, is_mul,
         *extra,
     ):
-        chain = DevChain(state, buf, nbytes, unroll)
-        a1_lsb, a2_lsb, eq_r = phase1_tables(
-            r_i, w_lsb, b_idx, c_idx, is_mul, k_cur, k,
-            lane_bits=lane_bits,
-            b_plan=extra[0] if mode == "plan" else None,
-            b_scan=tuple(extra) if mode == "scan" else None,
-        )
-        tables = (lsb_to_msb(w_lsb, k), lsb_to_msb(a1_lsb, k), lsb_to_msb(a2_lsb, k))
-        spec = _phase1_spec(k)
-        any_zero = jnp.asarray(False)
-        coeff_rows = []
-        u_scalars = []
-        r = None
-        dom_coeffs = None
-        c1 = None
-        for j in range(k):
-            if r is not None:
-                tables = _fold_tables(spec, tables, r)
-                spec = spec.after_fold()
-                claim = _claim_at(field, dom_coeffs, r)
-            else:
-                claim = None
-            sums = _round_sums(spec, tables, 2, claim=claim)
-            if j == 0:
-                # the layer claim (StartSumCheck.c_1) = s(0) + s(1) of the
-                # first round — no separate full-grid product pass needed
-                c1 = FArray(
-                    gl.add(
-                        sums.limbs[0][0],
-                        sums.limbs[1][0],
-                        sums.limbs[0][1],
-                        sums.limbs[1][1],
-                    ),
-                    field,
-                )
-                start_msg = jnp.concatenate(
-                    [
-                        _np_bytes(bytes([1])),
-                        _felt_bytes_le(c1.limbs[0], c1.limbs[1]),
-                        _le8_from_u32(layer_idx),
-                        _np_bytes(struct.pack("<Q", 2 * k)),
-                    ]
-                )
-                chain = chain.absorb(start_msg)
-            coeffs, dom_coeffs = _interp_coeffs(sums, 2)
-            any_zero = _track_zero(any_zero, coeffs)
-            coeff_rows.append(coeffs)
-            chain = chain.absorb(_msg_sumcheck(coeffs))
-            ((rlo, rhi),) = hash_to_field_chain(chain, field, 1)
-            u_scalars.append((rlo, rhi))
-            r = FArray((rlo, rhi), field)
-        u = FArray(
-            (
-                jnp.stack([s[0] for s in u_scalars]),
-                jnp.stack([s[1] for s in u_scalars]),
-            ),
-            field,
-        )
-        coeff_lo = jnp.stack([jnp.stack([c[0] for c in row]) for row in coeff_rows])
-        coeff_hi = jnp.stack([jnp.stack([c[1] for c in row]) for row in coeff_rows])
-        return (
-            chain.state,
-            chain.buf,
-            chain.nbytes,
-            jnp.stack(c1.limbs),
-            coeff_lo,
-            coeff_hi,
-            u,
-            eq_r,
-            any_zero,
+        return _phase1_body(
+            k_cur, k, field, lane_bits, mode, unroll,
+            state, buf, nbytes, layer_idx, r_i, w_lsb, b_idx, c_idx,
+            is_mul, extra,
         )
 
     return jax.jit(impl)
@@ -223,6 +243,127 @@ def _layer_phase1_jit(
 # ---------------------------------------------------------------------------
 # dispatch B: phase-2 build + rounds k..2k-1 + final message + r*
 # ---------------------------------------------------------------------------
+
+
+def _phase2_body(
+    k, field, lane_bits, mode, unroll,
+    state, buf, nbytes, u, a_lo, a_hi, w_lsb, eq_r, b_idx, c_idx,
+    is_mul, extra,
+):
+    """Traceable dispatch-B body (phase-2 build + rounds k..2k-1 + final
+    message + r*) — shared by the per-layer jit and the whole-proof
+    layer scan."""
+    # phase 1's full coefficient rows come in; the claim seed needs only
+    # the last row — slice INSIDE the jit (an eager host-side slice
+    # would be its own remote dispatch per layer through the tunnel)
+    last_lo, last_hi = a_lo[-1], a_hi[-1]
+    chain = DevChain(state, buf, nbytes, unroll)
+    b1_lsb, b2_lsb, w_u = phase2_tables(
+        u, w_lsb, eq_r, b_idx, c_idx, is_mul, k,
+        lane_bits=lane_bits,
+        c_plan=extra[0] if mode == "plan" else None,
+        c_scan=tuple(extra) if mode == "scan" else None,
+    )
+    tables = (
+        lsb_to_msb(b1_lsb, k),
+        lsb_to_msb(b2_lsb, k),
+        lsb_to_msb(w_lsb, k),
+        w_u,
+    )
+    spec = _phase2_spec(k)
+    any_zero = jnp.asarray(False)
+    coeff_rows = []
+    c_scalars = []
+    r = None
+    # claim chain seed: phase 1's last polynomial (coeffs passed in)
+    # evaluated at its challenge u_{k-1}
+    dom_coeffs = [(last_lo[t], last_hi[t]) for t in range(3)]
+    prev_r = FArray((u.limbs[0][k - 1], u.limbs[1][k - 1]), field)
+    # rounds k .. 2k-2: the k-1 inner messages of phase 2
+    for j in range(k - 1):
+        if r is not None:
+            tables = _fold_tables(spec, tables, r)
+            spec = spec.after_fold()
+        claim = _claim_at(field, dom_coeffs, prev_r)
+        sums = _round_sums(spec, tables, 2, claim=claim)
+        coeffs, dom_coeffs = _interp_coeffs(sums, 2)
+        any_zero = _track_zero(any_zero, coeffs)
+        coeff_rows.append(coeffs)
+        chain = chain.absorb(_msg_sumcheck(coeffs))
+        if j < k - 2:
+            ((rlo, rhi),) = hash_to_field_chain(chain, field, 1)
+        else:
+            # second-to-last message overall: draw r_{2k-2} AND r_last
+            (rlo, rhi), (llo, lhi) = hash_to_field_chain(chain, field, 2)
+            c_last = (llo, lhi)
+        c_scalars.append((rlo, rhi))
+        r = FArray((rlo, rhi), field)
+        prev_r = r
+    c_scalars.append(c_last)
+    # final round polynomial p: fold r_{2k-2}, one variable remains
+    tables = _fold_tables(spec, tables, r)
+    spec = spec.after_fold()
+    claim = _claim_at(field, dom_coeffs, prev_r)
+    sums = _round_sums(spec, tables, 2, claim=claim)
+    p_coeffs, _ = _interp_coeffs(sums, 2)
+    any_zero = _track_zero(any_zero, p_coeffs)
+    # q = W~ restricted to the line through b=u, c (ref restrict_poly)
+    c_arr = FArray(
+        (
+            jnp.stack([s[0] for s in c_scalars]),
+            jnp.stack([s[1] for s in c_scalars]),
+        ),
+        field,
+    )
+    delta = c_arr - u
+    if _LINE_RESTRICT[0] == "fold":
+        qc = line_restrict_coeffs(w_lsb, u, delta, k)
+        q_coeffs = [
+            (qc.limbs[0][t], qc.limbs[1][t]) for t in range(k + 1)
+        ]
+    else:
+        evals = []
+        for t in range(k + 1):
+            t_s = FArray.from_ints([t], field).reshape(())
+            point = u + delta * t_s
+            evals.append(dot_mod(w_lsb, eq_table_dev(point, k)))
+        q_vals = FArray(
+            tuple(
+                jnp.stack([e.limbs[i] for e in evals])
+                for i in range(len(evals[0].limbs))
+            ),
+            field,
+        )
+        q_coeffs, _ = _interp_coeffs(q_vals, k)
+    any_zero = _track_zero(any_zero, q_coeffs)
+    final_msg = jnp.concatenate(
+        [_np_bytes(bytes([3]))]
+        + _poly_bytes(p_coeffs)
+        + _poly_bytes(q_coeffs)
+    )
+    chain = chain.absorb(final_msg)
+    ((slo, shi),) = hash_to_field_chain(chain, field, 1)
+    r_star = FArray((slo, shi), field)
+    r_next = u + delta * r_star
+    coeff_lo = jnp.stack([jnp.stack([c[0] for c in row]) for row in coeff_rows])
+    coeff_hi = jnp.stack([jnp.stack([c[1] for c in row]) for row in coeff_rows])
+    p_lo = jnp.stack([c[0] for c in p_coeffs])
+    p_hi = jnp.stack([c[1] for c in p_coeffs])
+    q_lo = jnp.stack([c[0] for c in q_coeffs])
+    q_hi = jnp.stack([c[1] for c in q_coeffs])
+    return (
+        chain.state,
+        chain.buf,
+        chain.nbytes,
+        coeff_lo,
+        coeff_hi,
+        p_lo,
+        p_hi,
+        q_lo,
+        q_hi,
+        r_next,
+        any_zero,
+    )
 
 
 @lru_cache(maxsize=None)
@@ -239,120 +380,84 @@ def _layer_phase2_jit(
         state, buf, nbytes, u, a_lo, a_hi, w_lsb, eq_r, b_idx, c_idx,
         is_mul, *extra,
     ):
-        # phase 1's full coefficient rows come in; the claim seed needs only
-        # the last row — slice INSIDE the jit (an eager host-side slice
-        # would be its own remote dispatch per layer through the tunnel)
-        last_lo, last_hi = a_lo[-1], a_hi[-1]
-        chain = DevChain(state, buf, nbytes, unroll)
-        b1_lsb, b2_lsb, w_u = phase2_tables(
-            u, w_lsb, eq_r, b_idx, c_idx, is_mul, k,
-            lane_bits=lane_bits,
-            c_plan=extra[0] if mode == "plan" else None,
-            c_scan=tuple(extra) if mode == "scan" else None,
-        )
-        tables = (
-            lsb_to_msb(b1_lsb, k),
-            lsb_to_msb(b2_lsb, k),
-            lsb_to_msb(w_lsb, k),
-            w_u,
-        )
-        spec = _phase2_spec(k)
-        any_zero = jnp.asarray(False)
-        coeff_rows = []
-        c_scalars = []
-        r = None
-        # claim chain seed: phase 1's last polynomial (coeffs passed in)
-        # evaluated at its challenge u_{k-1}
-        dom_coeffs = [(last_lo[t], last_hi[t]) for t in range(3)]
-        prev_r = FArray((u.limbs[0][k - 1], u.limbs[1][k - 1]), field)
-        # rounds k .. 2k-2: the k-1 inner messages of phase 2
-        for j in range(k - 1):
-            if r is not None:
-                tables = _fold_tables(spec, tables, r)
-                spec = spec.after_fold()
-            claim = _claim_at(field, dom_coeffs, prev_r)
-            sums = _round_sums(spec, tables, 2, claim=claim)
-            coeffs, dom_coeffs = _interp_coeffs(sums, 2)
-            any_zero = _track_zero(any_zero, coeffs)
-            coeff_rows.append(coeffs)
-            chain = chain.absorb(_msg_sumcheck(coeffs))
-            if j < k - 2:
-                ((rlo, rhi),) = hash_to_field_chain(chain, field, 1)
-            else:
-                # second-to-last message overall: draw r_{2k-2} AND r_last
-                (rlo, rhi), (llo, lhi) = hash_to_field_chain(chain, field, 2)
-                c_last = (llo, lhi)
-            c_scalars.append((rlo, rhi))
-            r = FArray((rlo, rhi), field)
-            prev_r = r
-        c_scalars.append(c_last)
-        # final round polynomial p: fold r_{2k-2}, one variable remains
-        tables = _fold_tables(spec, tables, r)
-        spec = spec.after_fold()
-        claim = _claim_at(field, dom_coeffs, prev_r)
-        sums = _round_sums(spec, tables, 2, claim=claim)
-        p_coeffs, _ = _interp_coeffs(sums, 2)
-        any_zero = _track_zero(any_zero, p_coeffs)
-        # q = W~ restricted to the line through b=u, c (ref restrict_poly):
-        # evaluate at t = 0..k on device, interpolate exactly
-        c_arr = FArray(
-            (
-                jnp.stack([s[0] for s in c_scalars]),
-                jnp.stack([s[1] for s in c_scalars]),
-            ),
-            field,
-        )
-        delta = c_arr - u
-        if _LINE_RESTRICT[0] == "fold":
-            qc = line_restrict_coeffs(w_lsb, u, delta, k)
-            q_coeffs = [
-                (qc.limbs[0][t], qc.limbs[1][t]) for t in range(k + 1)
-            ]
-        else:
-            evals = []
-            for t in range(k + 1):
-                t_s = FArray.from_ints([t], field).reshape(())
-                point = u + delta * t_s
-                evals.append(dot_mod(w_lsb, eq_table_dev(point, k)))
-            q_vals = FArray(
-                tuple(
-                    jnp.stack([e.limbs[i] for e in evals])
-                    for i in range(len(evals[0].limbs))
-                ),
-                field,
-            )
-            q_coeffs, _ = _interp_coeffs(q_vals, k)
-        any_zero = _track_zero(any_zero, q_coeffs)
-        final_msg = jnp.concatenate(
-            [_np_bytes(bytes([3]))]
-            + _poly_bytes(p_coeffs)
-            + _poly_bytes(q_coeffs)
-        )
-        chain = chain.absorb(final_msg)
-        ((slo, shi),) = hash_to_field_chain(chain, field, 1)
-        r_star = FArray((slo, shi), field)
-        r_next = u + delta * r_star
-        coeff_lo = jnp.stack([jnp.stack([c[0] for c in row]) for row in coeff_rows])
-        coeff_hi = jnp.stack([jnp.stack([c[1] for c in row]) for row in coeff_rows])
-        p_lo = jnp.stack([c[0] for c in p_coeffs])
-        p_hi = jnp.stack([c[1] for c in p_coeffs])
-        q_lo = jnp.stack([c[0] for c in q_coeffs])
-        q_hi = jnp.stack([c[1] for c in q_coeffs])
-        return (
-            chain.state,
-            chain.buf,
-            chain.nbytes,
-            coeff_lo,
-            coeff_hi,
-            p_lo,
-            p_hi,
-            q_lo,
-            q_hi,
-            r_next,
-            any_zero,
+        return _phase2_body(
+            k, field, lane_bits, mode, unroll,
+            state, buf, nbytes, u, a_lo, a_hi, w_lsb, eq_r, b_idx,
+            c_idx, is_mul, extra,
         )
 
     return jax.jit(impl)
+
+
+# ---------------------------------------------------------------------------
+# whole-proof layer scan: ONE dispatch for every layer of a uniform circuit
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _scan_proof_jit(
+    num_layers: int,
+    k: int,
+    g: int,
+    field: FieldConfig,
+    lane_bits: int = 8,
+):
+    """The r5 dispatch-count killer: for circuits whose layers all have
+    the same width (the flagship 16 x 2^20 family and the benchmark
+    family), the 2L per-layer dispatches collapse into ONE
+    ``jax.lax.scan`` over stacked wiring + layer values, with the SHA-256
+    chain state, the layer index, and r_i carried. The r4e/r5 breakdowns
+    showed the pipelined wall (12.9-16.7 s at 2^24) exceeding the synced
+    device totals (9.2 s) by ~3.5 s of per-dispatch tunnel enqueue drag —
+    this removes 31 of the 32 dispatches. Scan-mode scatter only (the
+    shipped default). Byte-identity with the per-layer path is by shared
+    bodies (_phase1_body/_phase2_body) and asserted in
+    tests/test_gkr_fused.py."""
+    unroll = default_unroll()
+
+    def impl(
+        state, buf, nbytes, r0, ws, b_idxs, c_idxs, is_muls,
+        b_orders, b_starts, c_orders, c_starts,
+    ):
+        def body(carry, xs):
+            state, buf, nbytes, layer_idx, r_i = carry
+            (w_lsb, b_idx, c_idx, is_mul, b_o, b_s, c_o, c_s) = xs
+            a = _phase1_body(
+                k, k, field, lane_bits, "scan", unroll,
+                state, buf, nbytes, layer_idx, r_i, w_lsb, b_idx,
+                c_idx, is_mul, (b_o, b_s),
+            )
+            state, buf, nbytes, c1, a_lo, a_hi, u, eq_r, az_a = a
+            b = _phase2_body(
+                k, field, lane_bits, "scan", unroll,
+                state, buf, nbytes, u, a_lo, a_hi, w_lsb, eq_r,
+                b_idx, c_idx, is_mul, (c_o, c_s),
+            )
+            state, buf, nbytes = b[0], b[1], b[2]
+            r_next = b[9]
+            outs = (c1, a_lo, a_hi) + tuple(b[3:9]) + (az_a | b[10],)
+            return (
+                state, buf, nbytes, layer_idx + jnp.uint32(1), r_next
+            ), outs
+
+        carry0 = (state, buf, nbytes, jnp.uint32(0), r0)
+        _, ys = jax.lax.scan(
+            body, carry0, (ws, b_idxs, c_idxs, is_muls, b_orders,
+                           b_starts, c_orders, c_starts),
+        )
+        return ys
+
+    return jax.jit(impl)
+
+
+def _scan_supported(circuit, mode: str, lane_bits, mesh) -> bool:
+    """Uniform layer widths + scan scatter mode + uniform lane bits +
+    unsharded — the whole-proof scan's compile key must be one (k, g)."""
+    if mode != "scan" or mesh is not None:
+        return False
+    num_layers = len(circuit.layers)
+    ks = {circuit.num_vars_at(i) for i in range(num_layers + 1)}
+    return len(ks) == 1 and len(set(lane_bits)) == 1
 
 
 # ---------------------------------------------------------------------------
@@ -562,8 +667,73 @@ def _prove_fused(
     layers_dev = layer_caches[mesh]
 
     r_i = FArray.from_ints(np.array([f.v for f in r0], dtype=object), field)
-    outs = []
     timings_t0 = [time.perf_counter()]
+
+    if _scan_supported(circuit, mode, lane_bits, mesh):
+        # ONE dispatch for all layers (see _scan_proof_jit). Stacked
+        # wiring is a circuit property (cached), stacked layer values a
+        # prover property.
+        L = num_layers
+        k = circuit.num_vars_at(0)
+        g = 1 << k
+        skey = (mesh, mode, "stacked")
+        if skey not in wiring_caches:
+            wiring_caches[skey] = tuple(
+                jnp.stack(xs)
+                for xs in (
+                    [wiring_dev[i][0] for i in range(L)],
+                    [wiring_dev[i][1] for i in range(L)],
+                    [wiring_dev[i][2] for i in range(L)],
+                    [wiring_dev[i][3][0] for i in range(L)],
+                    [wiring_dev[i][3][1] for i in range(L)],
+                    [wiring_dev[i][4][0] for i in range(L)],
+                    [wiring_dev[i][4][1] for i in range(L)],
+                )
+            )
+        stacked = wiring_caches[skey]
+        sckey = ("stacked", mesh)
+        if sckey not in layer_caches:
+            layer_caches[sckey] = FArray(
+                tuple(
+                    jnp.stack([layers_dev[i + 1].limbs[j] for i in range(L)])
+                    for j in range(len(layers_dev[0].limbs))
+                ),
+                field,
+            )
+        ws = layer_caches[sckey]
+        fn = _scan_proof_jit(L, k, g, field, lane_bits[0])
+        ys = fn(state, buf, nbytes, r_i, ws, *stacked)
+        if timings is not None:
+            jax.block_until_ready(ys[0])
+            now = time.perf_counter()
+            timings.append(("scan_layers", -1, now - timings_t0[0]))
+            timings_t0[0] = now
+        leaves = jax.tree_util.tree_leaves(ys)
+        flat = np.asarray(_pack_outputs(tuple(leaves)))
+        vals = []
+        off = 0
+        for x in leaves:
+            size = int(np.prod(x.shape)) if x.shape else 1
+            vals.append(flat[off : off + size].reshape(x.shape))
+            off += size
+        ys_np = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(ys), vals
+        )
+        (c1s, a_los, a_his, b_los, b_his, p_los, p_his, q_los, q_his, azs) = (
+            ys_np
+        )
+        if timings is not None:
+            timings.append(("pull", -1, time.perf_counter() - timings_t0[0]))
+        pulled = [
+            (
+                k, c1s[i], a_los[i], a_his[i], b_los[i], b_his[i],
+                p_los[i], p_his[i], q_los[i], q_his[i], azs[i], azs[i],
+            )
+            for i in range(L)
+        ]
+        return _assemble_msgs(begin_raw, pulled)
+
+    outs = []
     for i in range(num_layers):
         k_cur = circuit.num_vars_at(i)
         k = circuit.num_vars_at(i + 1)
@@ -621,6 +791,12 @@ def _prove_fused(
     if timings is not None:
         now = time.perf_counter()
         timings.append(("pull", -1, now - timings_t0[0]))
+    return _assemble_msgs(begin_raw, pulled)
+
+
+def _assemble_msgs(begin_raw: bytes, pulled) -> Optional[List[bytes]]:
+    """Host reassembly of the byte transcript from pulled coefficient
+    rows; None on any zero serialized coefficient (exact host fallback)."""
     msgs = [begin_raw]
     for i, row in enumerate(pulled):
         (k, c1, a_lo, a_hi, b_lo, b_hi, p_lo, p_hi, q_lo, q_hi, az_a, az_b) = row
