@@ -147,11 +147,27 @@ def run_fused(args, circuit, inputs, F, prover, emit, t_forward):
                                 sum(s for p, _, s in timings if p == "phase2"),
                                 3,
                             ),
+                            "prelude_s": round(
+                                sum(
+                                    s
+                                    for p, _, s in timings
+                                    if p == "prelude"
+                                ),
+                                3,
+                            ),
                             "scan_layers_s": round(
                                 sum(
                                     s
                                     for p, _, s in timings
                                     if p == "scan_layers"
+                                ),
+                                3,
+                            ),
+                            "assemble_s": round(
+                                sum(
+                                    s
+                                    for p, _, s in timings
+                                    if p == "assemble"
                                 ),
                                 3,
                             ),

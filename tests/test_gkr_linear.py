@@ -298,3 +298,44 @@ def test_scan_mode_transcript_identical():
         log_scan = _drive(circuit, inputs, GOLDILOCKS, 3, use_linear=True)
     log_seg = _drive(circuit, inputs, GOLDILOCKS, 3, use_linear=True)
     assert log_scan == log_seg
+
+
+def test_scan_add_cumsum_core_worst_case_exact():
+    """The r5 cumsum scan core relies on wrapped u32 prefix differences
+    being exact when each cell's true lane sum is < 2^32. Drive the
+    worst case the 16-bit-lane bound permits — EVERY gate feeding one
+    cell with all-ones lanes — plus the assoc-core A/B, against a
+    python-bigint oracle."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from thaler_study_tpu.fields import GOLDILOCKS, FArray
+    from thaler_study_tpu.gkr.device_tables import (
+        scan_add_mod_many,
+        scan_plan,
+        set_scan_core,
+    )
+
+    g, size = 1 << 10, 1 << 10
+    idx = np.zeros(g, np.int64)  # max fan-in: every gate -> cell 0
+    # all-ones 16-bit lanes in both limbs: the largest per-lane values
+    vals = FArray(
+        (
+            jnp.full((g,), np.uint32(0xFFFFFFFF)),
+            jnp.full((g,), np.uint32(0x7FFFFFFF)),
+        ),
+        GOLDILOCKS,
+    )
+    p = GOLDILOCKS.p
+    want = [0] * size
+    raw = (0xFFFFFFFF | (0x7FFFFFFF << 32)) % p
+    want[0] = (g * raw) % p
+    order, starts = scan_plan(idx, size)
+    order, starts = jnp.asarray(order), jnp.asarray(starts)
+    try:
+        for core in ("cumsum", "assoc"):
+            set_scan_core(core)
+            (got,) = scan_add_mod_many(order, starts, (vals,))
+            assert [int(x) for x in got.to_ints()] == want, core
+    finally:
+        set_scan_core("cumsum")

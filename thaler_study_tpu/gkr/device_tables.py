@@ -175,10 +175,25 @@ def scan_plan(idx: np.ndarray, size: int) -> Tuple[np.ndarray, np.ndarray]:
     return order, starts.astype(np.int32)
 
 
+# A/B switch for the scan-formulated scatter-add core: "cumsum" (r5
+# default — per-lane native u32 prefix sums with wraparound, exact by the
+# lane bound) vs "assoc" (r4 — modular tuple-carry associative_scan,
+# measured ~214 ms standalone at 2^20x2 arrays vs the builds' ~130 ms;
+# the 4-array carry with a ~30-slot combiner defeats XLA's scan
+# lowering). Trace-time read; flip in a fresh process for benches.
+_SCAN_CORE = ["cumsum"]
+
+
+def set_scan_core(mode: str) -> None:
+    assert mode in ("cumsum", "assoc")
+    _SCAN_CORE[0] = mode
+
+
 def scan_add_mod_many(
     order: jnp.ndarray,
     starts: jnp.ndarray,
     vals_list: Sequence[FArray],
+    lane_bits: int = 16,
 ) -> Tuple[FArray, ...]:
     """grid_v[idx[g]] += vals_list[v][g] (mod p) via sort + prefix scan —
     no scatter at all (the TPU-first scatter-add; VERDICT r3 #5).
@@ -187,16 +202,49 @@ def scan_add_mod_many(
     duplicate indices (~400 ns/gate measured at 2^20 gates/layer); the
     gather-plan inverse (r3) pays [2^k, max_fanin] dense reads. This
     formulation is all vectorized primitives: permute the values so equal
-    cells are contiguous (host-precomputed ``order``), take an EXACT
-    modular inclusive prefix scan along the gate axis
-    (``jax.lax.associative_scan`` with the field add — associativity is
-    all it needs), and read each cell as the difference of boundary
+    cells are contiguous (host-precomputed ``order``), prefix-sum along
+    the gate axis, and read each cell as the difference of boundary
     prefixes: out[c] = S_pad[starts[c+1]] - S_pad[starts[c]] with
     S_pad = [0, S]. Empty cells subtract equal prefixes and yield 0.
-    Exact mod p at every step, so results are bit-identical to the
-    segment_sum and gather-plan paths."""
+
+    Two exact cores (bit-identical results, ``set_scan_core``):
+
+    - **cumsum** (default): split each u32 limb into ``lane_bits``-bit
+      lanes and take a NATIVE ``jnp.cumsum`` per lane with u32
+      wraparound. Boundary differences of wrapped prefixes are exact
+      whenever each cell's true lane sum is < 2^32 — guaranteed by the
+      same bound as the packed segment_sum (max fan-in <= 2^16 at
+      16-bit lanes, <= 2^24 at 8-bit; ``wiring_lane_bits``). The wrapped
+      lane sums are then recombined mod p exactly like
+      scatter_add_mod_many.
+    - **assoc**: an EXACT modular inclusive prefix scan
+      (``jax.lax.associative_scan`` with the field add) on the limb
+      tuple, subtracting boundary prefixes mod p. Simpler, but the
+      multi-array carry scans ~7x slower on v5e.
+    """
     field = vals_list[0].field
     p = field.p
+    hi_ix = starts[1:]
+    lo_ix = starts[:-1]
+    out = []
+    if _SCAN_CORE[0] == "cumsum":
+        per_limb = 32 // lane_bits
+        mask = U32((1 << lane_bits) - 1)
+        for vals in vals_list:
+            acc = None
+            for limb_i, limb in enumerate(vals.limbs):
+                sorted_limb = jnp.take(limb, order, axis=0)
+                for s in range(per_limb):
+                    lane = (sorted_limb >> U32(lane_bits * s)) & mask
+                    csum = jnp.cumsum(lane, dtype=jnp.uint32)
+                    pad = jnp.concatenate([jnp.zeros((1,), U32), csum])
+                    seg = jnp.take(pad, hi_ix) - jnp.take(pad, lo_ix)
+                    part = _scale_raw(
+                        seg, 1 << (32 * limb_i + lane_bits * s), field
+                    )
+                    acc = part if acc is None else acc + part
+            out.append(acc)
+        return tuple(out)
     if field.backend == "goldilocks":
 
         def comb(a, b):
@@ -208,9 +256,6 @@ def scan_add_mod_many(
         def comb(a, b):
             return (b32.add(p, a[0], b[0]),)
 
-    hi_ix = starts[1:]
-    lo_ix = starts[:-1]
-    out = []
     for vals in vals_list:
         sorted_limbs = tuple(
             jnp.take(l, order, axis=0) for l in vals.limbs
@@ -323,7 +368,9 @@ def phase1_tables(
         w_lsb.field,
     )
     if b_scan is not None:
-        a1, a2 = scan_add_mod_many(b_scan[0], b_scan[1], (vals_a1, vals_a2))
+        a1, a2 = scan_add_mod_many(
+            b_scan[0], b_scan[1], (vals_a1, vals_a2), lane_bits=lane_bits
+        )
     elif b_plan is not None:
         a1, a2 = gather_add_mod_many(b_plan, (vals_a1, vals_a2))
     else:
@@ -363,7 +410,9 @@ def phase2_tables(
         w_lsb.field,
     )
     if c_scan is not None:
-        b1, b2 = scan_add_mod_many(c_scan[0], c_scan[1], (vals_b1, vals_b2))
+        b1, b2 = scan_add_mod_many(
+            c_scan[0], c_scan[1], (vals_b1, vals_b2), lane_bits=lane_bits
+        )
     elif c_plan is not None:
         b1, b2 = gather_add_mod_many(c_plan, (vals_b1, vals_b2))
     else:

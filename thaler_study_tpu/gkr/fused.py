@@ -416,9 +416,20 @@ def _scan_proof_jit(
     unroll = default_unroll()
 
     def impl(
-        state, buf, nbytes, r0, ws, b_idxs, c_idxs, is_muls,
+        state, buf, nbytes, r0, ws_list, b_idxs, c_idxs, is_muls,
         b_orders, b_starts, c_orders, c_starts,
     ):
+        # stack the per-layer value tables INSIDE the program: eager
+        # host-side jnp.stack would be its own 64 MB-input dispatch per
+        # proof through the tunnel (fresh provers can't reuse a cache)
+        ws = FArray(
+            tuple(
+                jnp.stack([w.limbs[j] for w in ws_list])
+                for j in range(len(ws_list[0].limbs))
+            ),
+            field,
+        )
+
         def body(carry, xs):
             state, buf, nbytes, layer_idx, r_i = carry
             (w_lsb, b_idx, c_idx, is_mul, b_o, b_s, c_o, c_s) = xs
@@ -577,6 +588,7 @@ def _prove_fused(
             for v in prover.layers_u64
         ]
 
+    t_prelude0 = time.perf_counter()
     begin_raw = serialize_gkr_message(prover.start_protocol())
     hasher = DefaultFieldHasher(field, b"")
     k0 = circuit.num_vars_at(0)
@@ -668,6 +680,10 @@ def _prove_fused(
 
     r_i = FArray.from_ints(np.array([f.v for f in r0], dtype=object), field)
     timings_t0 = [time.perf_counter()]
+    if timings is not None:
+        # Begin pull+serialize, the 8.4 MB begin hash, the midstate seed,
+        # wiring upload/caching — everything before the first dispatch
+        timings.append(("prelude", -1, timings_t0[0] - t_prelude0))
 
     if _scan_supported(circuit, mode, lane_bits, mesh):
         # ONE dispatch for all layers (see _scan_proof_jit). Stacked
@@ -691,18 +707,9 @@ def _prove_fused(
                 )
             )
         stacked = wiring_caches[skey]
-        sckey = ("stacked", mesh)
-        if sckey not in layer_caches:
-            layer_caches[sckey] = FArray(
-                tuple(
-                    jnp.stack([layers_dev[i + 1].limbs[j] for i in range(L)])
-                    for j in range(len(layers_dev[0].limbs))
-                ),
-                field,
-            )
-        ws = layer_caches[sckey]
+        ws_list = tuple(layers_dev[i + 1] for i in range(L))
         fn = _scan_proof_jit(L, k, g, field, lane_bits[0])
-        ys = fn(state, buf, nbytes, r_i, ws, *stacked)
+        ys = fn(state, buf, nbytes, r_i, ws_list, *stacked)
         if timings is not None:
             jax.block_until_ready(ys[0])
             now = time.perf_counter()
@@ -723,7 +730,9 @@ def _prove_fused(
             ys_np
         )
         if timings is not None:
-            timings.append(("pull", -1, time.perf_counter() - timings_t0[0]))
+            now = time.perf_counter()
+            timings.append(("pull", -1, now - timings_t0[0]))
+            timings_t0[0] = now
         pulled = [
             (
                 k, c1s[i], a_los[i], a_his[i], b_los[i], b_his[i],
@@ -731,7 +740,12 @@ def _prove_fused(
             )
             for i in range(L)
         ]
-        return _assemble_msgs(begin_raw, pulled)
+        msgs = _assemble_msgs(begin_raw, pulled)
+        if timings is not None:
+            timings.append(
+                ("assemble", -1, time.perf_counter() - timings_t0[0])
+            )
+        return msgs
 
     outs = []
     for i in range(num_layers):
