@@ -136,12 +136,30 @@ class Circuit:
         layers.reverse()
         return layers
 
+    def _device_wiring(self):
+        """Device-resident wiring, cached on the circuit: the r5 prelude
+        profile showed a fresh prover re-uploading ~3 x width indices per
+        layer per proof (~270 MB at 2^24 through the remote tunnel — the
+        dominant 'prelude' cost in bench_logs/r5/gkr24_cs_bd.log).
+        Wiring is static per circuit, so upload once."""
+        import jax.numpy as jnp
+
+        cached = getattr(self, "_dev_wiring_cache", None)
+        if cached is None:
+            cached = self._dev_wiring_cache = [
+                (jnp.asarray(b), jnp.asarray(c), jnp.asarray(m))
+                for b, c, m in self._wiring
+            ]
+        return cached
+
     def evaluate_device(self, inputs: FArray) -> List[FArray]:
         """TPU forward pass: per layer, two gathers + add/mul + select.
 
         Returns per-layer FArrays, output layer first (little-endian/label
-        index order, i.e. position = gate label).
-        """
+        index order, i.e. position = gate label). Uniform-width circuits
+        run the whole pass as ONE jitted ``lax.scan`` dispatch (the
+        per-layer loop pays ~16 tunnel enqueues); mixed widths keep the
+        per-layer jit."""
         import jax
         import jax.numpy as jnp
 
@@ -157,11 +175,41 @@ class Circuit:
             )
             return FArray(limbs, cur.field)
 
-        step = jax.jit(layer_step, static_argnums=())
+        wiring_dev = self._device_wiring()
+        n_layers = len(self.layers)
+        widths = {self.num_vars_at(i) for i in range(n_layers + 1)}
+        if len(widths) == 1 and n_layers > 1:
+            key = ("fwd_scan", n_layers, inputs.field)
+            cache = getattr(self, "_fwd_scan_cache", None)
+            if cache is None:
+                cache = self._fwd_scan_cache = {}
+            if key not in cache:
+                stacked = tuple(
+                    jnp.stack([wiring_dev[i][j] for i in range(n_layers)])
+                    for j in range(3)
+                )
+
+                def impl(inp, bs, cs, ms):
+                    def body(cur, xs):
+                        nxt = layer_step(cur, *xs)
+                        return nxt, nxt
+                    # wiring is output-first; forward consumes input-first
+                    _, ys = jax.lax.scan(
+                        body, inp, (bs, cs, ms), reverse=True
+                    )
+                    # unstack INSIDE the program: one dispatch, L outputs
+                    return tuple(ys[i] for i in range(n_layers))
+
+                cache[key] = (jax.jit(impl), stacked)
+            fn, stacked = cache[key]
+            layers = fn(inputs, *stacked)  # output layer first
+            return list(layers) + [inputs]
+
+        step = jax.jit(layer_step)
         out = [inputs]
         cur = inputs
-        for b_idx, c_idx, is_mul in reversed(self._wiring):
-            cur = step(cur, jnp.asarray(b_idx), jnp.asarray(c_idx), jnp.asarray(is_mul))
+        for b_idx, c_idx, is_mul in reversed(wiring_dev):
+            cur = step(cur, b_idx, c_idx, is_mul)
             out.append(cur)
         out.reverse()
         return out

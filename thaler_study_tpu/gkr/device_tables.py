@@ -228,21 +228,38 @@ def scan_add_mod_many(
     lo_ix = starts[:-1]
     out = []
     if _SCAN_CORE[0] == "cumsum":
+        # 2-D formulation: a TPU gather costs ~per-ROW regardless of row
+        # width (measured ~7-15 ms per 2^20-random-index take of a scalar
+        # column, while cumsum is ~free), so all lanes ride TWO row
+        # gathers — one for the sort permutation, one for the cell
+        # boundaries — instead of 2-3 takes per lane.
         per_limb = 32 // lane_bits
         mask = U32((1 << lane_bits) - 1)
+        cols = []
+        for vals in vals_list:
+            for limb in vals.limbs:
+                for s in range(per_limb):
+                    cols.append((limb >> U32(lane_bits * s)) & mask)
+        lanes2d = jnp.stack(cols, axis=1)  # [g, n_lanes]
+        sorted2d = jnp.take(lanes2d, order, axis=0)
+        csum = jnp.cumsum(sorted2d, axis=0, dtype=jnp.uint32)
+        pad = jnp.concatenate(
+            [jnp.zeros((1, csum.shape[1]), U32), csum], axis=0
+        )
+        bounds = jnp.take(pad, starts, axis=0)  # [size+1, n_lanes]
+        seg2d = bounds[1:] - bounds[:-1]  # exact: true lane sums < 2^32
+        col = 0
         for vals in vals_list:
             acc = None
-            for limb_i, limb in enumerate(vals.limbs):
-                sorted_limb = jnp.take(limb, order, axis=0)
+            for limb_i in range(len(vals.limbs)):
                 for s in range(per_limb):
-                    lane = (sorted_limb >> U32(lane_bits * s)) & mask
-                    csum = jnp.cumsum(lane, dtype=jnp.uint32)
-                    pad = jnp.concatenate([jnp.zeros((1,), U32), csum])
-                    seg = jnp.take(pad, hi_ix) - jnp.take(pad, lo_ix)
                     part = _scale_raw(
-                        seg, 1 << (32 * limb_i + lane_bits * s), field
+                        seg2d[:, col],
+                        1 << (32 * limb_i + lane_bits * s),
+                        field,
                     )
                     acc = part if acc is None else acc + part
+                    col += 1
             out.append(acc)
         return tuple(out)
     if field.backend == "goldilocks":
@@ -314,6 +331,17 @@ def eq_table_dev(r: FArray, n: int) -> FArray:
 
 
 def gather(table: FArray, idx: jnp.ndarray) -> FArray:
+    """Random-index gather of all limbs. Multi-limb tables ride ONE row
+    gather over limbs stacked as columns — a TPU gather costs ~per-row
+    regardless of row width (same measurement as the 2-D scatter core),
+    so this halves the gather cost for goldilocks."""
+    if len(table.limbs) > 1:
+        stacked = jnp.stack(table.limbs, axis=1)  # [n, n_limbs]
+        rows = jnp.take(stacked, idx, axis=0)
+        return FArray(
+            tuple(rows[:, i] for i in range(len(table.limbs))),
+            table.field,
+        )
     return FArray(
         tuple(jnp.take(l, idx, axis=0) for l in table.limbs), table.field
     )

@@ -628,6 +628,7 @@ def _prove_fused(
     if wkey not in wiring_caches:
         from .device_tables import scan_plan, wiring_plan_or_none
 
+        base_dev = circuit._device_wiring()  # one upload per circuit
         wiring_dev = []
         for i in range(num_layers):
             b_idx, c_idx, is_mul = circuit._wiring[i]
@@ -645,15 +646,7 @@ def _prove_fused(
                 c_extra = tuple(
                     jnp.asarray(x) for x in scan_plan(c_idx, size)
                 )
-            wiring_dev.append(
-                (
-                    jnp.asarray(b_idx),
-                    jnp.asarray(c_idx),
-                    jnp.asarray(is_mul),
-                    b_extra,
-                    c_extra,
-                )
-            )
+            wiring_dev.append(base_dev[i] + (b_extra, c_extra))
         if mesh is not None:
             put, _ = _mesh_put(mesh)
             wiring_dev = [
