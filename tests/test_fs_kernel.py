@@ -25,6 +25,13 @@ from thaler_study_tpu.protocols import MatMulG
 from thaler_study_tpu.protocols.factor_poly import ProductPoly
 from thaler_study_tpu.sumcheck import Prover, Verifier
 
+# GSPMD-compile-bound file: whole-proof/sharded program compiles dominate
+# its runtime on a cold cache. Excluded from the default tier (pyproject
+# addopts); run with `pytest -m heavy`. tests/test_sharded_smoke.py keeps
+# a fast mesh-coverage smoke in the default tier.
+pytestmark = pytest.mark.heavy
+
+
 
 def test_device_hash_to_field_matches_host(rng):
     """The on-device expand_message_xmd + BE reduction equals the host

@@ -34,6 +34,13 @@ from thaler_study_tpu.gkr.transcript import (
     verify_gkr_transcript,
 )
 
+# GSPMD-compile-bound file: whole-proof/sharded program compiles dominate
+# its runtime on a cold cache. Excluded from the default tier (pyproject
+# addopts); run with `pytest -m heavy`. tests/test_sharded_smoke.py keeps
+# a fast mesh-coverage smoke in the default tier.
+pytestmark = pytest.mark.heavy
+
+
 
 def _random_circuit(depth, width_log, num_inputs_log, rng):
     layers = []

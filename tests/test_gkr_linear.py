@@ -2,6 +2,8 @@
 
 import random
 
+import pytest
+
 import numpy as np
 
 from thaler_study_tpu.fields import F389, GOLDILOCKS
@@ -16,6 +18,13 @@ from thaler_study_tpu.gkr import (
     circuit_from_book,
 )
 from thaler_study_tpu.sumcheck import SeededRng
+
+# GSPMD-compile-bound file: whole-proof/sharded program compiles dominate
+# its runtime on a cold cache. Excluded from the default tier (pyproject
+# addopts); run with `pytest -m heavy`. tests/test_sharded_smoke.py keeps
+# a fast mesh-coverage smoke in the default tier.
+pytestmark = pytest.mark.heavy
+
 
 
 def _random_circuit(depth, width_log, num_inputs_log, rng):

@@ -23,6 +23,13 @@ from thaler_study_tpu.parallel import (
 from thaler_study_tpu.protocols import ProductPoly, TriangleG
 from thaler_study_tpu.sumcheck import Prover
 
+# GSPMD-compile-bound file: whole-proof/sharded program compiles dominate
+# its runtime on a cold cache. Excluded from the default tier (pyproject
+# addopts); run with `pytest -m heavy`. tests/test_sharded_smoke.py keeps
+# a fast mesh-coverage smoke in the default tier.
+pytestmark = pytest.mark.heavy
+
+
 
 def _tables(field, n, k, rng):
     return [

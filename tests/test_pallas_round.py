@@ -15,6 +15,13 @@ from thaler_study_tpu.ops import round_kernel
 from thaler_study_tpu.ops import pallas_round
 from thaler_study_tpu.ops.round_kernel import PolySpec
 
+# GSPMD-compile-bound file: whole-proof/sharded program compiles dominate
+# its runtime on a cold cache. Excluded from the default tier (pyproject
+# addopts); run with `pytest -m heavy`. tests/test_sharded_smoke.py keeps
+# a fast mesh-coverage smoke in the default tier.
+pytestmark = pytest.mark.heavy
+
+
 
 @pytest.fixture(autouse=True)
 def _interpret_mode():

@@ -21,6 +21,13 @@ from thaler_study_tpu.fiat_shamir import (
     generate_transcript,
 )
 
+# GSPMD-compile-bound file: whole-proof/sharded program compiles dominate
+# its runtime on a cold cache. Excluded from the default tier (pyproject
+# addopts); run with `pytest -m heavy`. tests/test_sharded_smoke.py keeps
+# a fast mesh-coverage smoke in the default tier.
+pytestmark = pytest.mark.heavy
+
+
 
 def _product_tables(field, n, k, rng):
     tables = []
